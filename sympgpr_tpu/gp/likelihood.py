@@ -1,0 +1,116 @@
+"""Negative log marginal likelihood for the symplectic and auxiliary GPs.
+
+Mirrors the reference's ``nll_chol`` / ``nll_chol_reg`` (Rasmussen & Williams
+p.19 Cholesky form, ``python/01_pendulum/implicit/func.py:99-114``,
+``python/05_tokamak/SympGPR/func.py:134-150``) including the
+eigendecomposition fallback used when the Cholesky factorization fails at
+indefinite hyperparameters (``func.py:104-114``).  In JAX a failed Cholesky
+yields NaN rather than raising, so the fallback is a `lax.cond` on the
+finiteness of the factor.  The fallback floors eigenvalues at a small positive
+value so its value and gradient stay finite — strictly more robust than the
+reference, which produces NaN for genuinely indefinite matrices.
+
+Gradients of all objectives come from JAX autodiff — this replaces the
+hand-built ``build_dK``/``nll_grad`` machinery (``python/functions/
+func.py:52-162``) and fixes, by construction, the reference's copy-paste bug
+where the sigma-component quadratic term reuses ``dK[1]``
+(``python/05_tokamak/SympGPR/func.py:166``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sympgpr_tpu.gp.covariance import build_K, build_Kreg
+from sympgpr_tpu.kernels.variants import Kernel
+
+Array = jax.Array
+
+
+def _nll_from_Ky(Ky: Array, z: Array) -> Array:
+    """0.5 z^T Ky^{-1} z + 0.5 log det Ky (up to const), robustly."""
+    L = jnp.linalg.cholesky(Ky)
+    ok = jnp.all(jnp.isfinite(L))
+
+    def chol_branch(_):
+        alpha = jax.scipy.linalg.cho_solve((L, True), z)
+        return 0.5 * z @ alpha + jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    def eig_branch(_):
+        # Reference fallback: eigsh pseudo-inverse + pseudo-logdet
+        # (python/01_pendulum/implicit/func.py:110-113).  We floor the
+        # spectrum so value and gradient remain finite.
+        w, Q = jnp.linalg.eigh(Ky)
+        floor = jnp.maximum(jnp.max(jnp.abs(w)) * 1e-14, 1e-300)
+        w = jnp.maximum(w, floor)
+        alpha = Q @ ((Q.T @ z) / w)
+        return 0.5 * z @ alpha + 0.5 * jnp.sum(jnp.log(w))
+
+    return jax.lax.cond(ok, chol_branch, eig_branch, None)
+
+
+def nll(
+    kernel: Kernel,
+    params: Array,
+    sig: Array,
+    sig2n: Array,
+    X: Array,
+    z: Array,
+) -> Array:
+    """NLL of the symplectic (derivative-observation) GP.
+
+    X: (N, 2) mixed training points (q, P); z: (2N,) targets (p-P | Q-q).
+    """
+    K = build_K(kernel, X, X, params, sig)
+    Ky = K + jnp.abs(sig2n) * jnp.eye(K.shape[0], dtype=K.dtype)
+    return _nll_from_Ky(Ky, z)
+
+
+def nll_reg(
+    kernel: Kernel,
+    params: Array,
+    sig: Array,
+    sig2n: Array,
+    X: Array,
+    z: Array,
+) -> Array:
+    """NLL of the auxiliary ordinary GP. X: (N, 2) points (q, p); z: (N,)."""
+    K = build_Kreg(kernel, X, X, params, sig)
+    Ky = K + jnp.abs(sig2n) * jnp.eye(K.shape[0], dtype=K.dtype)
+    return _nll_from_Ky(Ky, z)
+
+
+def nll_separable(
+    kernel: Kernel,
+    params: Array,
+    sig: Array,
+    sig2n: Array,
+    X: Array,
+    z_block: Array,
+    block: int,
+) -> Array:
+    """Per-block NLL for the separable (sum) kernel, explicit training.
+
+    The reference trains lq and lp separately on the two diagonal blocks of
+    the derivative covariance (``nll_expl``,
+    ``python/04_standard_map/func.py:126-141``): block 0 is the (dq dq')
+    block against z_p, block 1 the (dP dP') block against z_q.
+    """
+    K = build_K(kernel, X, X, params, sig)
+    n = X.shape[0]
+    sl = slice(0, n) if block == 0 else slice(n, 2 * n)
+    Ky = K[sl, sl] + jnp.abs(sig2n) * jnp.eye(n, dtype=K.dtype)
+    return _nll_from_Ky(Ky, z_block)
+
+
+def chol_and_alpha(Ky: Array, z: Array) -> tuple[Array, Array]:
+    """Cholesky factor and alpha = Ky^{-1} z (cached for prediction).
+
+    The reference recomputes ``matmul(Kyinv, ztrain)`` inside every Newton
+    residual evaluation (``python/05_tokamak/SympGPR/sympgpr.f90:121``); we
+    hoist it here once per fitted model.
+    """
+    L = jnp.linalg.cholesky(Ky)
+    alpha = jax.scipy.linalg.cho_solve((L, True), z)
+    return L, alpha
