@@ -1,0 +1,106 @@
+"""Workload 04: Chirikov standard map, implicit and explicit methods.
+
+Re-implements ``python/04_standard_map/main.py`` (k=2.0, N=20): implicit mode
+uses the product periodic x SE kernel + Newton map; explicit mode uses the
+separable sum kernel with per-block training of lq and lp
+(``main.py:145-184``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from sympgpr_tpu.gp.train import fit_auxgp, fit_sympgp, fit_sympgp_separable
+from sympgpr_tpu.kernels import PER_SE, SUM_PER_SE
+from sympgpr_tpu.maps.symplectic import MapConfig, apply_map
+from sympgpr_tpu.systems import standard_map as sys_map
+
+
+def run(
+    cfg: sys_map.StandardMapConfig = sys_map.StandardMapConfig(),
+    method: str = "implicit",
+) -> dict[str, Any]:
+    data = sys_map.training_data(cfg)
+    X, z = jnp.asarray(data["X"]), jnp.asarray(data["z"])
+    Xp, zp = jnp.asarray(data["Xp"]), jnp.asarray(data["zp"])
+    sig = 2.0 * float(np.max(np.abs(data["z"])) ** 2)
+
+    t0 = time.time()
+    if method == "implicit":
+        # aux GP of P-p over (q,p), sig fixed (main.py:89-105)
+        sigp = 2.0 * float(np.max(np.abs(data["zp"])) ** 2)
+        aux, _ = fit_auxgp(
+            PER_SE, Xp, zp, sig2n=cfg.sig2_n, x0=(-1.0, -1.0),
+            fixed_sig=sigp, bounds=((-10, 1), (-10, 1)), delta=True,
+        )
+        sgp, res = fit_sympgp(
+            PER_SE, X, z, sig2n=cfg.sig2_n, x0=(0.0, -1.0), fixed_sig=sig,
+            bounds=((-2, 2), (-2, 2)), tol=1e-8,
+        )
+        map_cfg = MapConfig(
+            mod_q=2.0 * np.pi, mod_p=2.0 * np.pi, track_pdiff=True,
+            newton_tol=1e-12, newton_maxiter=30,
+        )
+    elif method == "explicit":
+        aux = None
+        sgp, res = fit_sympgp_separable(
+            SUM_PER_SE, X, z, sig2n=cfg.sig2_n, nll_sig2n=1e-8,
+            x0_q=(1.0,), x0_p=(1.0,), fixed_sig=sig,
+        )
+        map_cfg = MapConfig(
+            explicit=True, mod_q=None, mod_p=2.0 * np.pi, track_pdiff=True,
+        )
+    else:
+        raise ValueError(method)
+    t_train = time.time() - t0
+
+    q0, p0 = sys_map.test_initial_conditions(cfg)
+    t0 = time.time()
+    traj = apply_map(sgp, aux, jnp.asarray(q0), jnp.asarray(p0), cfg.nm,
+                     map_cfg)
+    traj.q.block_until_ready()
+    t_apply = time.time() - t0
+
+    # exact reference trajectories (main.py:78)
+    q_ref, p_ref = sys_map.iterate(jnp.asarray(q0), jnp.asarray(p0), cfg.k,
+                                   cfg.nm - 1)
+
+    # one-step prediction error (the reference judges by eye from the
+    # portraits; we add a quantitative gate)
+    d1q = np.asarray(jnp.mod(traj.q[1], 2 * np.pi) - jnp.mod(q_ref[1], 2 * np.pi))
+    d1q = np.minimum(np.abs(d1q), 2 * np.pi - np.abs(d1q))
+    d1p = np.asarray(jnp.mod(traj.p[1], 2 * np.pi) - jnp.mod(p_ref[1], 2 * np.pi))
+    d1p = np.minimum(np.abs(d1p), 2 * np.pi - np.abs(d1p))
+    one_step_mse = float(np.mean(d1q**2 + d1p**2) / 2)
+
+    return dict(
+        cfg=dataclasses.asdict(cfg),
+        method=method,
+        hyp=np.asarray(sgp.params),
+        sig=float(sgp.sig),
+        training_error=float(sgp.training_error()),
+        t_train=t_train,
+        t_apply=t_apply,
+        one_step_mse=one_step_mse,
+        traj=traj,
+        q_ref=np.asarray(q_ref),
+        p_ref=np.asarray(p_ref),
+    )
+
+
+def main():
+    for method in ("implicit", "explicit"):
+        out = run(method=method)
+        print(f"[{method}] lq={out['hyp'][0]:.2f} lp={out['hyp'][1]:.2f} "
+              f"training error {out['training_error']:.1e} "
+              f"one-step MSE {out['one_step_mse']:.1e} "
+              f"train {out['t_train']:.2f}s apply {out['t_apply']:.2f}s")
+
+
+if __name__ == "__main__":
+    main()
