@@ -1,0 +1,80 @@
+"""Workload smoke + parity gates on reduced configurations.
+
+Every reference experiment driver (SURVEY.md section 2.3) has a fast-config
+equivalent here asserting its de-facto acceptance criterion (training error,
+one-step MSE, energy oscillation).
+"""
+
+import numpy as np
+import pytest
+
+from sympgpr_tpu.systems.henon_heiles import HenonConfig
+from sympgpr_tpu.systems.pendulum import PendulumConfig
+from sympgpr_tpu.systems.pert_pendulum import PertPendulumConfig
+from sympgpr_tpu.systems.standard_map import StandardMapConfig
+from sympgpr_tpu.systems.tokamak import TokamakConfig
+from sympgpr_tpu.workloads import (
+    henon_heiles,
+    pendulum_explicit,
+    pendulum_period_unknown,
+    pert_pendulum,
+    standard_map,
+    tokamak,
+)
+
+
+def test_standard_map_implicit():
+    out = standard_map.run(StandardMapConfig(nm=20), method="implicit")
+    assert out["training_error"] < 1e-10
+    assert out["one_step_mse"] < 1e-5
+
+
+def test_standard_map_explicit():
+    out = standard_map.run(StandardMapConfig(nm=20), method="explicit")
+    assert out["training_error"] < 1e-10
+    assert out["one_step_mse"] < 1e-8
+
+
+def test_pendulum_explicit():
+    out = pendulum_explicit.run(PendulumConfig(Nm=70, sig2_n=1e-10, nm=100))
+    assert out["training_error"] < 1e-10
+    assert np.nanmean(out["Eosc"]) < 0.2
+
+
+def test_pendulum_period_unknown():
+    out = pendulum_period_unknown.run(
+        PendulumConfig(N=50, Nm=100, sig2_n=1e-10, nm=100)
+    )
+    assert out["training_error"] < 1e-8
+    # periodicity recovered as an integer multiple of the true 2*pi period
+    ratio = out["period_ratio"]
+    assert abs(ratio - round(ratio)) < 0.15 and 0.5 <= ratio <= 4.5
+    assert np.nanmean(out["Eosc"]) < 1e-2
+
+
+def test_pert_pendulum():
+    out = pert_pendulum.run(PertPendulumConfig(nm=20))
+    assert out["training_error"] < 1e-10
+    assert out["one_step_mse"] < 1e-4
+
+
+def test_henon_heiles():
+    out = henon_heiles.run(HenonConfig(Ntest=10), nm=20)
+    assert out["training_error"] < 1e-12
+    assert out["one_step_mse"] < 1e-3  # scaled (1e2) coordinates
+
+
+def test_tokamak_single():
+    out = tokamak.run(TokamakConfig(N=40), nm=30)
+    assert out["training_error"] < 1e-12
+    assert np.nanmean(out["gd"]) < 1e-2
+    assert out["n_lost"] <= out["cfg"]["Ntest"] // 3
+
+
+@pytest.mark.slow
+def test_tokamak_split():
+    cfg = TokamakConfig(N=40, nphmap=4, nph=100, r_scale=0.38,
+                        qminmap=0.16, qmaxmap=0.31)
+    out = tokamak.run(cfg, nm=40)
+    assert out["training_error"] < 1e-10
+    assert np.nanmean(out["gd"]) < 1e-2
