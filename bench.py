@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Headline benchmark: tokamak fit + long orbit rollout.
+
+Measures the throughput of the learned symplectic map application (the
+inference hot loop, BASELINE.md "orbit maps/s") on the default accelerator
+and compares against a CPU baseline with the reference's algorithmic
+structure (per-orbit Python loops + scipy Newton per step,
+``python/05_tokamak/SympGPR/func.py:182-211`` — the reference reports its
+Fortran path gives "no significant speedup" over this, func.py:213).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    t_start = time.time()
+    import jax
+
+    # make sure a CPU backend exists alongside any TPU plugin
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and "cpu" not in plats:
+        jax.config.update("jax_platforms", plats + ",cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+
+    from sympgpr_tpu.baselines import reference_cpu as refcpu
+    from sympgpr_tpu.maps.symplectic import MapConfig, apply_map
+    from sympgpr_tpu.systems import tokamak as tk
+    from sympgpr_tpu.workloads import tokamak as wtok
+
+    cpu = jax.devices("cpu")[0]
+    accel = jax.devices()[0]
+    on_tpu = accel.platform != "cpu"
+
+    cfg = tk.TokamakConfig()
+
+    # ---- fit on CPU in float64 (training is cheap; N=80) ----
+    with jax.default_device(cpu):
+        data = tk.training_data(cfg)
+        t0 = time.time()
+        aux, sgp, _ = wtok._fit_one_split(
+            data["q"][:, 0], data["p"][:, 0], data["Q"][:, 0],
+            data["P"][:, 0], cfg, "lbfgs",
+        )
+        t_fit = time.time() - t0
+
+    (r0, th0), _ = tk.test_initial_conditions(cfg)
+    pth0, _ = tk.ics_to_pth(r0, th0)
+    q0 = th0
+    p0 = pth0 * float(cfg.momentum_scale)
+
+    # ---- CPU baseline: reference-style loops, reference problem size ----
+    m = refcpu.ReferenceStyleModel(
+        X=np.asarray(sgp.X), z=np.asarray(sgp.z),
+        lx=float(sgp.params[0]), ly=float(sgp.params[1]),
+        sig=float(sgp.sig), sig2n=float(sgp.sig2n),
+        Xp=np.asarray(aux.X), zp=np.asarray(aux.z),
+        lxp=float(aux.params[0]), lyp=float(aux.params[1]),
+        sigp=float(aux.sig), aux_delta=True,
+    )
+    loss_fn = refcpu.tokamak_loss_fn()
+    nm_base = 40
+    t0 = time.time()
+    refcpu.applymap(m, nm_base, q0, p0, loss_fn=loss_fn)
+    t_cpu = time.time() - t0
+    base_steps_per_s = (nm_base - 1) * len(q0) / t_cpu
+
+    # ---- accelerator rollout ----
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    import jax.tree_util as jtu
+
+    def cast(t):
+        return jtu.tree_map(
+            lambda a: jax.device_put(
+                a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating)
+                else a, accel),
+            t,
+        )
+
+    sgp_a, aux_a = cast(sgp), cast(aux)
+    lf = wtok.make_loss_fn(cfg, use_new_q=False)
+    tol = 1e-5 if dtype == jnp.float32 else 1e-12
+    mcfg = MapConfig(newton_tol=tol, newton_maxiter=8)
+
+    def rollout(B, nm):
+        reps = int(np.ceil(B / len(q0)))
+        Q0 = jax.device_put(
+            jnp.asarray(np.tile(q0, reps)[:B], dtype), accel)
+        P0 = jax.device_put(
+            jnp.asarray(np.tile(p0, reps)[:B], dtype), accel)
+        traj = apply_map(sgp_a, aux_a, Q0, P0, nm, mcfg, loss_pre=lf)
+        traj.q.block_until_ready()  # compile + warm
+        t0 = time.time()
+        traj = apply_map(sgp_a, aux_a, Q0, P0, nm, mcfg, loss_pre=lf)
+        traj.q.block_until_ready()
+        dt = time.time() - t0
+        return (nm - 1) * B / dt, traj
+
+    # reference-size run (30 orbits x 10k steps — the BASELINE.json target)
+    ref_steps_per_s, traj_small = rollout(len(q0), 10_000)
+    # throughput run (orbit-batched; the TPU scaling story)
+    big_steps_per_s, traj_big = rollout(4096, 1_000)
+
+    n_lost = int(np.sum(np.isnan(np.asarray(traj_small.p[-1]))))
+    result = {
+        "metric": "tokamak_rollout_orbit_steps_per_s",
+        "value": round(big_steps_per_s, 1),
+        "unit": "orbit-steps/s",
+        "vs_baseline": round(big_steps_per_s / base_steps_per_s, 2),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "device": str(accel),
+                    "dtype": str(dtype.__name__),
+                    "fit_s": round(t_fit, 2),
+                    "cpu_baseline_steps_per_s": round(base_steps_per_s, 1),
+                    "ref_size_steps_per_s": round(ref_steps_per_s, 1),
+                    "ref_size_speedup": round(
+                        ref_steps_per_s / base_steps_per_s, 2),
+                    "lost_orbits_10k": n_lost,
+                    "total_bench_s": round(time.time() - t_start, 1),
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

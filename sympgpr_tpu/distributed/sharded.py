@@ -1,0 +1,182 @@
+"""Multi-chip execution: sharded covariance build, replicated solves,
+orbit-data-parallel rollouts.
+
+The reference is single-threaded CPU (SURVEY.md section 2.5 — no MPI, no
+threading, BLAS only); every parallel axis here is new capability:
+
+* ``kp`` axis — the O(N^2) covariance build is sharded by training-point row
+  blocks; each device computes its (N/kp, N, 2, 2) Hessian-block slab and an
+  ``all_gather`` (tiled, over ICI) assembles the full matrix for the
+  replicated Cholesky.  For the N <= O(10^3) regime of this model family the
+  factorization is cheap relative to the build; a block-cyclic distributed
+  Cholesky is the scale-up path beyond that.
+* ``dp`` axis — map-application orbits are embarrassingly parallel
+  (``python/functions/func.py:226-236`` loops them serially); rollouts shard
+  the orbit batch.
+* hyperparameter-search parallelism (restarts / CMA-ES populations / HMC
+  chains) — see ``sympgpr_tpu.gp.hmc`` and ``fit_restarts_sharded``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from sympgpr_tpu.gp.covariance import hess_blocks
+from sympgpr_tpu.gp.likelihood import _nll_from_Ky
+from sympgpr_tpu.kernels.variants import Kernel
+from sympgpr_tpu.maps.symplectic import MapConfig, _map_step
+
+Array = jax.Array
+
+
+def make_mesh(devices=None, axis_names=("dp", "kp")) -> Mesh:
+    """2-D mesh over the available devices: orbit-data-parallel x
+    covariance-shard axes.  Device count is factored as evenly as possible."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    kp = 1
+    for cand in range(int(np.sqrt(n)), 0, -1):
+        if n % cand == 0:
+            kp = cand
+            break
+    dp = n // kp
+    return Mesh(np.asarray(devices).reshape(dp, kp), axis_names)
+
+
+def sharded_nll(
+    kernel: Kernel,
+    mesh: Mesh,
+    params: Array,
+    sig: Array,
+    sig2n: Array,
+    X: Array,
+    z: Array,
+) -> Array:
+    """NLL with the Hessian-block build sharded over the ``kp`` axis.
+
+    X rows must be divisible by the kp axis size (pad upstream).
+    """
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("kp", None), P(None, None), P(None)),
+        out_specs=P(None, None, None, None),
+        check_vma=False,
+    )
+    def gathered_hess(X_shard, X_full, prm):
+        H = hess_blocks(kernel, X_shard, X_full, prm)  # (ns, N, 2, 2)
+        return jax.lax.all_gather(H, "kp", axis=0, tiled=True)
+
+    H = gathered_hess(X, X, params)
+    N = X.shape[0]
+    K = sig * H.transpose(2, 0, 3, 1).reshape(2 * N, 2 * N)
+    Ky = K + jnp.abs(sig2n) * jnp.eye(2 * N, dtype=K.dtype)
+    return _nll_from_Ky(Ky, z)
+
+
+def make_sharded_train_step(kernel: Kernel, mesh: Mesh, lr: float = 1e-2):
+    """One full hyperparameter-training step, jitted over the mesh:
+    sharded K build -> replicated Cholesky NLL -> autodiff grad ->
+    gradient-descent update of log10 hyperparameters."""
+
+    def loss(theta, X, z, sig2n):
+        hyp = 10.0 ** theta
+        return sharded_nll(kernel, mesh, hyp[:-1], hyp[-1], sig2n, X, z)
+
+    @jax.jit
+    def train_step(theta, X, z, sig2n):
+        val, g = jax.value_and_grad(loss)(theta, X, z, sig2n)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        gnorm = jnp.linalg.norm(g)
+        g = jnp.where(gnorm > 1.0, g / gnorm, g)  # clip: NLL scale varies
+        return theta - lr * g, val
+
+    return train_step
+
+
+def make_sharded_map_step(
+    sgp_kernel_cfg: MapConfig, mesh: Mesh, loss_pre=None
+):
+    """One symplectic map step with the orbit batch sharded over ``dp``.
+
+    Returns step(sgp, aux, q, p) -> (Q, P); q, p length divisible by dp.
+    """
+
+    def step(sgp, aux, q, p):
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P("dp"), P("dp")),
+            out_specs=(P("dp"), P("dp")),
+        )
+        def _inner(q_shard, p_shard):
+            Q, Pn, _ = _map_step(
+                sgp, aux, q_shard, p_shard, jnp.asarray(0),
+                sgp_kernel_cfg, loss_pre, None,
+            )
+            return Q, Pn
+
+        return _inner(q, p)
+
+    return jax.jit(step)
+
+
+def shard_orbits(mesh: Mesh, q: Array, p: Array):
+    """Place an orbit batch with rows sharded over the ``dp`` axis."""
+    sh = NamedSharding(mesh, P("dp"))
+    return jax.device_put(q, sh), jax.device_put(p, sh)
+
+
+def fit_restarts_sharded(
+    objective,
+    x0s: Sequence[Sequence[float]],
+    mesh: Mesh,
+    steps: int = 200,
+    lr: float = 3e-2,
+):
+    """Multi-restart hyperparameter search, restarts sharded over the whole
+    mesh (embarrassingly parallel — each device runs its own Adam chain).
+
+    Returns (best_theta, best_val).
+    """
+    import optax
+
+    x0s = jnp.asarray(np.asarray(x0s, dtype=np.float64))
+    n_dev = mesh.devices.size
+    assert x0s.shape[0] % n_dev == 0, "restarts must divide device count"
+    opt = optax.adam(lr)
+    vg = jax.value_and_grad(objective)
+
+    def one_chain(theta):
+        state = opt.init(theta)
+
+        def body(carry, _):
+            theta, state = carry
+            v, g = vg(theta)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            upd, state = opt.update(g, state, theta)
+            return (optax.apply_updates(theta, upd), state), v
+
+        (theta, _), vals = jax.lax.scan(body, (theta, state), None,
+                                        length=steps)
+        return theta, vals[-1]
+
+    flat_mesh = Mesh(mesh.devices.reshape(-1), ("r",))
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=flat_mesh, in_specs=P("r", None),
+             out_specs=(P("r", None), P("r")), check_vma=False)
+    def run_all(x0_shard):
+        return jax.vmap(one_chain)(x0_shard)
+
+    thetas, vals = run_all(x0s)
+    best = int(jnp.argmin(vals))
+    return np.asarray(thetas[best]), float(vals[best])

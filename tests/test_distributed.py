@@ -1,0 +1,93 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sympgpr_tpu.distributed import sharded
+from sympgpr_tpu.gp.likelihood import nll
+from sympgpr_tpu.gp.model import AuxGP, SympGP
+from sympgpr_tpu.kernels import PER_SE
+from sympgpr_tpu.maps.symplectic import MapConfig, calc_P, calc_Q
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    return sharded.make_mesh(jax.devices()[:8])
+
+
+def _data(n=8, seed=0):
+    rng = np.random.default_rng(seed)
+    X = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    z = jnp.asarray(rng.normal(size=2 * n))
+    return X, z
+
+
+def test_mesh_shape(mesh):
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("dp", "kp")
+
+
+def test_sharded_nll_matches_dense(mesh):
+    X, z = _data(8)
+    params = jnp.array([0.9, 1.1])
+    v_sharded = sharded.sharded_nll(
+        PER_SE, mesh, params, jnp.asarray(2.0), jnp.asarray(1e-8), X, z
+    )
+    v_dense = nll(PER_SE, params, jnp.asarray(2.0), jnp.asarray(1e-8), X, z)
+    np.testing.assert_allclose(float(v_sharded), float(v_dense), rtol=1e-12)
+
+
+def test_sharded_train_step_descends(mesh):
+    X, z = _data(8)
+    step = sharded.make_sharded_train_step(PER_SE, mesh, lr=1e-2)
+    theta = jnp.array([0.0, 0.0, 0.3])
+    vals = []
+    for _ in range(5):
+        theta, v = step(theta, X, z, jnp.asarray(1e-8))
+        vals.append(float(v))
+    assert vals[-1] < vals[0]
+
+
+def test_sharded_map_step_matches_single_device(mesh):
+    rng = np.random.default_rng(1)
+    n = 6
+    q = rng.uniform(0, 2 * np.pi, n)
+    P = rng.uniform(-1, 1, n)
+    X = jnp.asarray(np.stack([q, P], 1))
+    z = jnp.asarray(rng.normal(size=2 * n) * 0.1)
+    sgp = SympGP.create(PER_SE, jnp.array([1.0, 1.0]), 1.0, 1e-10, X, z)
+    aux = AuxGP.create(PER_SE, jnp.array([1.0, 1.0]), 1.0, 1e-10, X,
+                       z[:n], delta=True)
+
+    cfg = MapConfig(newton_tol=1e-12, newton_maxiter=30)
+    B = 16  # divisible by dp axis
+    q0 = jnp.asarray(rng.uniform(0, 2 * np.pi, B))
+    p0 = jnp.asarray(rng.uniform(-0.5, 0.5, B))
+
+    step = sharded.make_sharded_map_step(cfg, mesh)
+    qs, ps = sharded.shard_orbits(mesh, q0, p0)
+    Q_sh, P_sh = step(sgp, aux, qs, ps)
+
+    P_ref = calc_P(sgp, aux, q0, p0, tol=1e-12, maxiter=30)
+    Q_ref = jnp.mod(calc_Q(sgp, q0, P_ref) + q0, 2 * np.pi)
+    np.testing.assert_allclose(np.asarray(P_sh), np.asarray(P_ref),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(Q_sh), np.asarray(Q_ref),
+                               rtol=1e-10)
+
+
+def test_fit_restarts_sharded(mesh):
+    X, z = _data(8)
+
+    def objective(theta):
+        hyp = 10.0 ** theta
+        return nll(PER_SE, hyp[:2], hyp[2], jnp.asarray(1e-8), X, z)
+
+    x0s = [[0.0, 0.0, 0.3], [0.5, -0.5, 0.0], [-0.5, 0.5, 0.5],
+           [0.2, 0.2, 0.2]] * 2
+    theta, val = sharded.fit_restarts_sharded(objective, x0s, mesh, steps=50)
+    assert np.isfinite(val)
+    assert val <= float(objective(jnp.asarray(x0s[0]))) + 1e-9
