@@ -109,8 +109,30 @@ def main():
 
     # reference-size run (30 orbits x 10k steps — the BASELINE.json target)
     ref_steps_per_s, traj_small = rollout(len(q0), 10_000)
-    # throughput run (orbit-batched; the TPU scaling story)
-    big_steps_per_s, traj_big = rollout(4096, 1_000)
+
+    # throughput run (orbit-batched): fused Pallas rollout kernel on TPU,
+    # the generic scan path elsewhere
+    def rollout_pallas(B, nm):
+        from sympgpr_tpu.ops import pallas_step as psk
+
+        # Mosaic rejects the int64 indices x64 mode introduces; the fits are
+        # done by now, so drop back to 32-bit for the kernel path.
+        jax.config.update("jax_enable_x64", False)
+        pm = psk.pack_models(sgp_a, aux_a, mod_q=2 * np.pi)
+        reps = int(np.ceil(B / len(q0)))
+        Q0 = jax.device_put(jnp.asarray(np.tile(q0, reps)[:B], dtype), accel)
+        P0 = jax.device_put(jnp.asarray(np.tile(p0, reps)[:B], dtype), accel)
+        Q, P = psk.rollout_in_kernel(pm, Q0, P0, nm, loss_check=True)
+        float(jnp.nansum(Q[-1]))  # compile + warm
+        t0 = time.time()
+        Q, P = psk.rollout_in_kernel(pm, Q0, P0, nm, loss_check=True)
+        float(jnp.nansum(Q[-1]))
+        return (nm - 1) * B / (time.time() - t0)
+
+    if on_tpu:
+        big_steps_per_s = rollout_pallas(32768, 1_000)
+    else:
+        big_steps_per_s, _ = rollout(4096, 1_000)
 
     n_lost = int(np.sum(np.isnan(np.asarray(traj_small.p[-1]))))
     result = {
