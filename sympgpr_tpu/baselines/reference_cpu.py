@@ -66,7 +66,7 @@ class ReferenceStyleModel:
 
 def guessP(m: ReferenceStyleModel, q, p):
     Kstar = build_Kreg(np.array([[q, p]]), m.Xp, m.lxp, m.lyp, m.sigp)
-    mean = float(Kstar @ m.Kzp)
+    mean = float((Kstar @ m.Kzp)[0])
     return p + mean if m.aux_delta else mean
 
 
