@@ -74,7 +74,10 @@ def run(
     optimizer: str = "lbfgs",
     nm: int | None = None,
     with_reference: bool = True,
+    backend: str = "generic",
 ) -> dict[str, Any]:
+    """backend: 'generic' (f64-capable lax.scan path) or 'pallas' (fused
+    f32 rollout kernel, single map only; batch padded to 128)."""
     nm = nm if nm is not None else cfg.nm
     data = tk.training_data(cfg)
     M = cfg.nphmap
@@ -97,7 +100,28 @@ def run(
     P0 = jnp.asarray(pth0) * cfg.momentum_scale
 
     t0 = time.time()
-    if M == 1:
+    if M == 1 and backend == "pallas":
+        import jax.tree_util as jtu
+
+        from sympgpr_tpu.maps.symplectic import Trajectory
+        from sympgpr_tpu.ops import pallas_step as psk
+
+        cast32 = lambda t: jtu.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+        pm = psk.pack_models(cast32(sgps[0]), cast32(auxes[0]),
+                             mod_q=2 * np.pi)
+        B = len(np.asarray(Q0))
+        pad = (-B) % psk.LANE_TILE
+        Q0p = jnp.concatenate([jnp.asarray(Q0, jnp.float32),
+                               jnp.full(pad, jnp.nan, jnp.float32)])
+        P0p = jnp.concatenate([jnp.asarray(P0, jnp.float32),
+                               jnp.full(pad, jnp.nan, jnp.float32)])
+        interp = jax.default_backend() == "cpu"
+        Qt, Pt = psk.rollout_in_kernel(pm, Q0p, P0p, nm, loss_check=True,
+                                       interpret=interp)
+        traj = Trajectory(Qt[:, :B], Pt[:, :B], None)
+    elif M == 1:
         map_cfg = MapConfig(newton_tol=1e-12, newton_maxiter=20)
         traj = apply_map(
             sgps[0], auxes[0], Q0, P0, nm, map_cfg,

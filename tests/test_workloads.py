@@ -78,3 +78,10 @@ def test_tokamak_split():
     out = tokamak.run(cfg, nm=40)
     assert out["training_error"] < 1e-10
     assert np.nanmean(out["gd"]) < 1e-2
+
+
+def test_tokamak_pallas_backend():
+    """Fused-kernel backend (interpret mode on CPU) reproduces the workload."""
+    out = tokamak.run(TokamakConfig(N=40), nm=20, backend="pallas")
+    assert np.nanmean(out["gd"]) < 5e-2
+    assert out["n_lost"] <= out["cfg"]["Ntest"] // 3
