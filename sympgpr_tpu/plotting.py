@@ -63,3 +63,41 @@ def energy_drift(H, path="energy.png", title="Energy drift"):
     fig.savefig(path, dpi=150)
     plt.close(fig)
     return path
+
+
+def cost_landscape(objective, bounds, path="cost.png", n=40, title="NLL"):
+    """Contour of a 2-D objective + finite-difference-vs-autodiff gradient
+    check, mirroring the reference's ``plot_cost_function(_jac)`` visual
+    diagnostics (``python/05_tokamak/SympGPR/plotting.py:9-63``)."""
+    import jax
+    import jax.numpy as jnp
+
+    plt = _plt()
+    (x0, x1), (y0, y1) = bounds
+    xs = np.linspace(x0, x1, n)
+    ys = np.linspace(y0, y1, n)
+    XX, YY = np.meshgrid(xs, ys)
+    pts = jnp.asarray(np.stack([XX.ravel(), YY.ravel()], 1))
+    Z = np.asarray(jax.vmap(objective)(pts)).reshape(n, n)
+    Z = np.where(np.isfinite(Z), Z, np.nan)
+
+    mid = jnp.asarray([0.5 * (x0 + x1), 0.5 * (y0 + y1)])
+    g_ad = np.asarray(jax.grad(objective)(mid))
+    eps = 1e-5
+    g_fd = np.array([
+        (objective(mid + jnp.array([eps, 0.0]))
+         - objective(mid - jnp.array([eps, 0.0]))) / (2 * eps),
+        (objective(mid + jnp.array([0.0, eps]))
+         - objective(mid - jnp.array([0.0, eps]))) / (2 * eps),
+    ])
+
+    fig, ax = plt.subplots(figsize=(5, 4))
+    c = ax.contourf(XX, YY, Z, levels=30)
+    fig.colorbar(c, ax=ax)
+    ax.set_title(
+        f"{title}  |grad_ad - grad_fd| = {np.abs(g_ad - g_fd).max():.1e}"
+    )
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    return path, g_ad, g_fd
