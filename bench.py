@@ -135,6 +135,16 @@ def main():
         big_steps_per_s, _ = rollout(4096, 1_000)
 
     n_lost = int(np.sum(np.isnan(np.asarray(traj_small.p[-1]))))
+
+    # quality of the accelerated rollout: energy oscillation computed
+    # on-device (fetching the trajectory through the tunnel is the slow
+    # part, not computing on it)
+    from sympgpr_tpu.eval.metrics import energy_oscillation
+
+    H = jax.jit(
+        jax.vmap(lambda q, p: tk.field_energy(cfg.field, q, p))
+    )(traj_small.q, traj_small.p)
+    eosc_mean = float(jnp.nanmean(energy_oscillation(H, axis=0)))
     result = {
         "metric": "tokamak_rollout_orbit_steps_per_s",
         "value": round(big_steps_per_s, 1),

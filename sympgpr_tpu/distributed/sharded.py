@@ -180,3 +180,37 @@ def fit_restarts_sharded(
     thetas, vals = run_all(x0s)
     best = int(jnp.argmin(vals))
     return np.asarray(thetas[best]), float(vals[best])
+
+
+def apply_map_sharded(
+    mesh: Mesh,
+    sgp,
+    aux,
+    q0: Array,
+    p0: Array,
+    nm: int,
+    cfg: MapConfig = MapConfig(),
+    loss_pre=None,
+):
+    """Full nm-step rollout with the orbit batch sharded over ``dp``.
+
+    Orbits never communicate, so each device runs the whole scan on its
+    shard; the trajectory comes back sharded over its batch axis.
+    """
+    from functools import partial as _partial
+
+    from sympgpr_tpu.maps.symplectic import apply_map
+
+    @_partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("dp"), P("dp")),
+        out_specs=(P(None, "dp"), P(None, "dp")),
+        check_vma=False,
+    )
+    def run(q_shard, p_shard):
+        traj = apply_map(sgp, aux, q_shard, p_shard, nm, cfg,
+                         loss_pre=loss_pre)
+        return traj.q, traj.p
+
+    q, p = run(q0, p0)
+    return q, p

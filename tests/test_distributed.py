@@ -91,3 +91,25 @@ def test_fit_restarts_sharded(mesh):
     theta, val = sharded.fit_restarts_sharded(objective, x0s, mesh, steps=50)
     assert np.isfinite(val)
     assert val <= float(objective(jnp.asarray(x0s[0]))) + 1e-9
+
+
+def test_apply_map_sharded_matches_single(mesh):
+    rng = np.random.default_rng(5)
+    n = 6
+    q = rng.uniform(0, 2 * np.pi, n)
+    P = rng.uniform(-1, 1, n)
+    X = jnp.asarray(np.stack([q, P], 1))
+    z = jnp.asarray(np.concatenate([0.2 * np.sin(q), 0.1 * np.cos(q) * P]))
+    sgp = SympGP.create(PER_SE, jnp.array([1.0, 1.0]), 1.0, 1e-10, X, z)
+    aux = AuxGP.create(PER_SE, jnp.array([1.0, 1.0]), 1.0, 1e-10, X, z[:n],
+                       delta=True)
+    B = 16
+    q0 = jnp.asarray(rng.uniform(0, 2 * np.pi, B))
+    p0 = jnp.asarray(rng.uniform(-0.5, 0.5, B))
+    cfg = MapConfig(newton_tol=1e-12, newton_maxiter=30)
+    qs, ps = sharded.apply_map_sharded(mesh, sgp, aux, q0, p0, 8, cfg)
+    from sympgpr_tpu.maps.symplectic import apply_map
+
+    ref = apply_map(sgp, aux, q0, p0, 8, cfg)
+    np.testing.assert_allclose(np.asarray(qs), np.asarray(ref.q), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(ref.p), rtol=1e-10)
