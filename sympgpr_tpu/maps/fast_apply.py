@@ -35,10 +35,11 @@ from sympgpr_tpu.maps.symplectic import MapConfig, Trajectory
 Array = jax.Array
 
 _FAST_KERNELS = ("per_se", "se_se", "per_se_freq")
+_FAST_SUM_KERNELS = ("sum_per_se",)
 
 
 def supports(kernel_name: str) -> bool:
-    return kernel_name in _FAST_KERNELS
+    return kernel_name in _FAST_KERNELS + _FAST_SUM_KERNELS
 
 
 def _q_factors(name: str, d: Array, params: Array):
@@ -71,6 +72,31 @@ class StepCoeffs(NamedTuple):
     c3: Array
     uP: Array  # (N,) train momenta
     ly: Array
+
+
+def p_explicit_sum(sgp: SympGP, q: Array) -> Array:
+    """pGP for a *sum* (separable) kernel — depends only on q:
+    pGP = sum_i sig a0_i (s'' - s'^2) A(dq) (the B addend has no dq
+    dependence, so its contribution to the dq dq' block vanishes)."""
+    n = sgp.n_train
+    d = sgp.X[None, :, 0] - q[:, None]
+    A, sp, spp = _q_factors("per_se", d, sgp.params)
+    a0 = sgp.alpha.reshape(2, n)[0]
+    return sgp.sig * jnp.sum(a0[None, :] * (spp - sp * sp) * A, axis=-1)
+
+
+def q_update_sum(sgp: SympGP, P: Array) -> Array:
+    """Delta q for a sum kernel — depends only on P:
+    dq = sum_i sig a1_i (1/ly^2 - dP^2/ly^4) B(dP)."""
+    n = sgp.n_train
+    ly = sgp.params[1]
+    dP = sgp.X[None, :, 1] - P[:, None]
+    B = jnp.exp(-(dP**2) / (2.0 * ly**2))
+    a1 = sgp.alpha.reshape(2, n)[1]
+    ily2 = 1.0 / ly**2
+    return sgp.sig * jnp.sum(
+        a1[None, :] * (ily2 - dP**2 * ily2**2) * B, axis=-1
+    )
 
 
 def precompute_step(sgp: SympGP, q: Array) -> StepCoeffs:
@@ -182,16 +208,23 @@ def apply_map_fast(
     2-3x fewer transcendentals per step and optionally sync-free Newton.
     """
     assert supports(sgp.kernel.name), sgp.kernel.name
+    is_sum = sgp.kernel.name in _FAST_SUM_KERNELS
+    if is_sum and not cfg.explicit:
+        raise ValueError("sum kernels imply the explicit map (Algorithm 2)")
     q0 = jnp.atleast_1d(q0)
     p0 = jnp.atleast_1d(p0)
 
     def step(carry, i):
         q, p, pdiff = carry
-        co = precompute_step(sgp, q)
-        if cfg.explicit:
+        if is_sum:
+            co = None
+            P = p - p_explicit_sum(sgp, q)
+        elif cfg.explicit:
+            co = precompute_step(sgp, q)
             pGP, _ = p_value_slope(co, p)
             P = p - pGP
         else:
+            co = precompute_step(sgp, q)
             P0 = aux_guess(aux, q, p)
             P = newton_P(co, p, P0, cfg.newton_tol, cfg.newton_maxiter,
                          fixed_iters)
@@ -200,7 +233,7 @@ def apply_map_fast(
             P = jnp.where(lost, jnp.nan, P)
         dPc = P - p
         Pw = jnp.mod(P, cfg.mod_p) if cfg.mod_p is not None else P
-        dq = q_update(co, Pw)
+        dq = q_update_sum(sgp, Pw) if is_sum else q_update(co, Pw)
         Q = dq + q
         if cfg.mod_q is not None:
             Q = jnp.mod(Q, cfg.mod_q)

@@ -93,3 +93,29 @@ def test_explicit_rollout_matches():
                                rtol=1e-10)
     np.testing.assert_allclose(np.asarray(tr_fast.p), np.asarray(tr_ref.p),
                                rtol=1e-10)
+
+
+def test_sum_kernel_explicit_fast_matches_generic():
+    from sympgpr_tpu.kernels import SUM_PER_SE
+
+    sgp, _ = models(SUM_PER_SE)
+    cfg = sm.MapConfig(explicit=True, mod_q=2 * np.pi)
+    q0 = jnp.array([0.3, 1.1, 2.0])
+    p0 = jnp.array([0.1, -0.2, 0.4])
+    # the toy model's |alpha| ~ 1e7 amplifies f64 summation-order noise to
+    # ~1e-7 per step; keep the horizon short and the tolerance accordingly
+    tr_ref = sm.apply_map(sgp, None, q0, p0, nm=5, cfg=cfg)
+    tr_fast = fa.apply_map_fast(sgp, None, q0, p0, nm=5, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(tr_fast.q), np.asarray(tr_ref.q),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tr_fast.p), np.asarray(tr_ref.p),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sum_kernel_requires_explicit():
+    from sympgpr_tpu.kernels import SUM_PER_SE
+
+    sgp, aux = models(SUM_PER_SE)
+    with pytest.raises(ValueError):
+        fa.apply_map_fast(sgp, aux, jnp.array([0.3]), jnp.array([0.1]),
+                          nm=3, cfg=sm.MapConfig(explicit=False))
