@@ -96,20 +96,29 @@ def test_explicit_rollout_matches():
 
 
 def test_sum_kernel_explicit_fast_matches_generic():
+    from sympgpr_tpu.gp.model import SympGP
     from sympgpr_tpu.kernels import SUM_PER_SE
 
-    sgp, _ = models(SUM_PER_SE)
+    # well-conditioned model (smooth targets + healthy jitter) so the
+    # comparison measures formula equivalence, not |alpha|-amplified
+    # summation noise
+    rng = np.random.default_rng(0)
+    n = 12
+    q = rng.uniform(0, 2 * np.pi, n)
+    P = rng.uniform(-1, 1, n)
+    X = jnp.asarray(np.stack([q, P], 1))
+    z = jnp.asarray(np.concatenate([0.1 * np.sin(q), 0.1 * np.cos(P)]))
+    sgp = SympGP.create(SUM_PER_SE, jnp.array([0.9, 1.2]), 1.5, 1e-4, X, z)
+
     cfg = sm.MapConfig(explicit=True, mod_q=2 * np.pi)
     q0 = jnp.array([0.3, 1.1, 2.0])
     p0 = jnp.array([0.1, -0.2, 0.4])
-    # the toy model's |alpha| ~ 1e7 amplifies f64 summation-order noise to
-    # ~1e-7 per step; keep the horizon short and the tolerance accordingly
-    tr_ref = sm.apply_map(sgp, None, q0, p0, nm=5, cfg=cfg)
-    tr_fast = fa.apply_map_fast(sgp, None, q0, p0, nm=5, cfg=cfg)
+    tr_ref = sm.apply_map(sgp, None, q0, p0, nm=15, cfg=cfg)
+    tr_fast = fa.apply_map_fast(sgp, None, q0, p0, nm=15, cfg=cfg)
     np.testing.assert_allclose(np.asarray(tr_fast.q), np.asarray(tr_ref.q),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=1e-10, atol=1e-11)
     np.testing.assert_allclose(np.asarray(tr_fast.p), np.asarray(tr_ref.p),
-                               rtol=1e-4, atol=1e-5)
+                               rtol=1e-10, atol=1e-11)
 
 
 def test_sum_kernel_requires_explicit():
