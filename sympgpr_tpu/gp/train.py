@@ -364,3 +364,50 @@ def fit_sympgp_separable(
     lp = float(np.abs(_apply_transform(jnp.asarray(res_p.theta), transform)))
     model = SympGP.create(kernel, np.array([lq, lp]), fixed_sig, sig2n, X, z)
     return model, (res_q, res_p)
+
+
+def fit_batch_adam(
+    kernel: Kernel,
+    Xs: Array,
+    zs: Array,
+    *,
+    sig2n: float,
+    x0: Sequence[float],
+    transform: str = "log10",
+    lr: float = 3e-2,
+    steps: int = 300,
+    nll_fn=None,
+) -> tuple[Array, Array]:
+    """Fit many GPs at once: vmapped Adam over stacked datasets.
+
+    Xs: (M, N, 2) stacked training sets; zs: (M, 2N) (or (M, N) with
+    ``nll_fn=likelihood.nll_reg``).  Returns (thetas (M, d), nlls (M,)).
+    One fused program trains all M models — this is how the Split tokamak
+    sub-maps or a sensitivity sweep of fits should run on TPU (SURVEY.md
+    §7.3 item 7: "batched fits").
+    """
+    nll_fn = nll_fn or likelihood.nll
+    theta0 = jnp.asarray(np.asarray(x0, dtype=np.float64))
+    opt = optax.adam(lr)
+
+    def loss(theta, X, z):
+        hyp = _apply_transform(theta, transform)
+        return nll_fn(kernel, hyp[:-1], hyp[-1],
+                      jnp.asarray(sig2n, theta.dtype), X, z)
+
+    def one(X, z):
+        state = opt.init(theta0)
+
+        def body(carry, _):
+            theta, state = carry
+            v, g = jax.value_and_grad(loss)(theta, X, z)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            upd, state = opt.update(g, state, theta)
+            return (optax.apply_updates(theta, upd), state), v
+
+        (theta, _), vals = jax.lax.scan(body, (theta0, state), None,
+                                        length=steps)
+        return theta, loss(theta, X, z)
+
+    thetas, nlls = jax.jit(jax.vmap(one))(jnp.asarray(Xs), jnp.asarray(zs))
+    return thetas, nlls

@@ -66,3 +66,31 @@ def test_fit_auxgp_cmaes_path():
     K = build_Kreg(PER_SE, aux.X, aux.X, aux.params, aux.sig)
     pred = K @ aux.alpha
     assert float(jnp.mean((pred - z) ** 2)) < 1e-3
+
+
+def test_fit_batch_adam():
+    """Batched vmapped fits track individual fits."""
+    import jax
+
+    from sympgpr_tpu.gp.train import fit_batch_adam, minimize_adam
+
+    rng = np.random.default_rng(2)
+    M, n = 3, 8
+    Xs, zs = [], []
+    for m in range(M):
+        q = rng.uniform(0, 2 * np.pi, n)
+        P = rng.uniform(-1, 1, n)
+        Xs.append(np.stack([q, P], 1))
+        zs.append(np.concatenate([0.2 * np.sin(q), 0.1 * np.cos(q) * P]))
+    Xs, zs = np.stack(Xs), np.stack(zs)
+
+    thetas, nlls = fit_batch_adam(
+        PER_SE, Xs, zs, sig2n=1e-6, x0=(0.0, 0.0, 0.0), steps=200,
+    )
+    assert thetas.shape == (M, 3)
+    assert np.isfinite(np.asarray(nlls)).all()
+    # individual fit of dataset 0 reaches a comparable NLL
+    obj = make_objective(likelihood.nll, PER_SE, jnp.asarray(Xs[0]),
+                         jnp.asarray(zs[0]), 1e-6, transform="log10")
+    r = minimize_adam(obj, [0.0, 0.0, 0.0], steps=200)
+    assert float(nlls[0]) < r.fun + 1.0
