@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sympgpr_tpu.gp.covariance import build_K, build_Kreg
 from sympgpr_tpu.kernels.variants import Kernel
@@ -104,13 +105,30 @@ def nll_separable(
     return _nll_from_Ky(Ky, z_block)
 
 
-def chol_and_alpha(Ky: Array, z: Array) -> tuple[Array, Array]:
+def chol_and_alpha(
+    Ky: Array, z: Array, max_jitter_tries: int = 6
+) -> tuple[Array, Array]:
     """Cholesky factor and alpha = Ky^{-1} z (cached for prediction).
 
     The reference recomputes ``matmul(Kyinv, ztrain)`` inside every Newton
     residual evaluation (``python/05_tokamak/SympGPR/sympgpr.f90:121``); we
     hoist it here once per fitted model.
+
+    If the factorization fails (optimized hyperparameters can leave Ky
+    numerically semidefinite at the configured jitter), the jitter is
+    escalated geometrically from ``1e-12 * max(diag)`` until it succeeds —
+    the production-robust version of the reference's eigsh fallback.
     """
     L = jnp.linalg.cholesky(Ky)
-    alpha = jax.scipy.linalg.cho_solve((L, True), z)
-    return L, alpha
+    if bool(jnp.all(jnp.isfinite(L))):
+        return L, jax.scipy.linalg.cho_solve((L, True), z)
+    eye = jnp.eye(Ky.shape[0], dtype=Ky.dtype)
+    jitter = 1e-12 * float(jnp.max(jnp.diagonal(Ky)))
+    for _ in range(max_jitter_tries):
+        L = jnp.linalg.cholesky(Ky + jitter * eye)
+        if bool(jnp.all(jnp.isfinite(L))):
+            return L, jax.scipy.linalg.cho_solve((L, True), z)
+        jitter *= 100.0
+    raise np.linalg.LinAlgError(
+        "covariance not positive definite even after jitter escalation"
+    )

@@ -81,3 +81,17 @@ def test_nll_reg_spd():
     v = nll_reg(PER_SE, jnp.array([1.0, 1.0]), jnp.asarray(1.5),
                 jnp.asarray(1e-8), X, z[: X.shape[0]])
     assert np.isfinite(float(v))
+
+
+def test_chol_and_alpha_jitter_escalation():
+    """A semidefinite Ky must be factorized via jitter escalation rather
+    than returning NaN alpha."""
+    from sympgpr_tpu.gp.likelihood import chol_and_alpha
+
+    n = 6
+    v = jnp.ones((n, 1))
+    Ky = v @ v.T  # rank-1 PSD, singular
+    z = jnp.ones(n)
+    L, alpha = chol_and_alpha(Ky, z)
+    assert np.isfinite(np.asarray(L)).all()
+    assert np.isfinite(np.asarray(alpha)).all()

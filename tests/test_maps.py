@@ -128,3 +128,24 @@ def test_apply_map_split_cycles_models():
     tr1 = sm.apply_map(m1, a1, q0, p0, nm=2)
     np.testing.assert_allclose(traj.q[1], tr1.q[1], rtol=1e-12)
     np.testing.assert_allclose(traj.p[1], tr1.p[1], rtol=1e-12)
+
+
+def test_pdiff_tracks_unwrapped_momentum():
+    """pdiff accumulates pre-wrap momentum increments
+    (``python/04_standard_map/func.py:199,236-237``)."""
+    sgp, aux = toy_models()
+    q0 = jnp.array([0.5, 2.0])
+    p0 = jnp.array([0.1, 0.3])
+    cfg = sm.MapConfig(mod_p=2 * np.pi, track_pdiff=True,
+                       newton_tol=1e-12, newton_maxiter=30)
+    traj = sm.apply_map(sgp, aux, q0, p0, nm=6, cfg=cfg)
+    assert traj.pdiff is not None
+    # wrapped p and unwrapped pdiff agree modulo 2*pi at every step
+    np.testing.assert_allclose(
+        np.mod(np.asarray(traj.pdiff), 2 * np.pi),
+        np.mod(np.asarray(traj.p), 2 * np.pi),
+        atol=1e-9,
+    )
+    # and pdiff is genuinely unwrapped: increments are continuous
+    inc = np.diff(np.asarray(traj.pdiff), axis=0)
+    assert np.all(np.abs(inc) < 2 * np.pi)
