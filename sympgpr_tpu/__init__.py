@@ -34,5 +34,8 @@ from sympgpr_tpu.maps.symplectic import (
     calc_Q,
     stack_models,
 )
+from sympgpr_tpu.maps.fast_apply import apply_map_fast
+from sympgpr_tpu.gp.predict import predict_aux, predict_df
+from sympgpr_tpu.gp.hmc import sample_hmc, sample_hmc_sharded
 
 __version__ = "0.1.0"
