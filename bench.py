@@ -43,6 +43,34 @@ def main():
     accel = jax.devices()[0]
     on_tpu = accel.platform != "cpu"
 
+    if on_tpu:
+        # watchdog: if the accelerator is unreachable (tunnel wedged), fall
+        # back to CPU rather than hanging the whole benchmark
+        import threading
+
+        import jax.numpy as _jnp
+
+        ok = threading.Event()
+
+        def _probe():
+            try:
+                x = jax.device_put(_jnp.ones((8, 8)), accel)
+                (x @ x).block_until_ready()
+                ok.set()
+            except Exception:
+                pass
+
+        t = threading.Thread(target=_probe, daemon=True)
+        t.start()
+        t.join(timeout=120)
+        if not ok.is_set():
+            print(
+                json.dumps({"warn": "accelerator unreachable; CPU fallback"}),
+                file=sys.stderr,
+            )
+            accel = cpu
+            on_tpu = False
+
     cfg = tk.TokamakConfig()
 
     # ---- fit on CPU in float64 (training is cheap; N=80) ----
