@@ -67,6 +67,37 @@ def build_Kreg(
     return sig * K
 
 
+_FAST_COV = ("per_se", "se_se", "per_se_freq")
+
+
+def build_K_fast(
+    kernel: Kernel, X: Array, X0: Array, params: Array, sig: Array
+) -> Array:
+    """Closed-form covariance build for product kernels A(dq) * B(dP).
+
+    The autodiff build traces jacfwd-of-grad per pair (~10x the flops of the
+    closed forms); for large-N training loops and HMC this vectorized
+    variant builds all four blocks from shared factors.  Validated against
+    ``build_K`` at 1e-12 in tests; falls back to ``build_K`` for kernels
+    outside the product family.
+    """
+    if kernel.name not in _FAST_COV:
+        return build_K(kernel, X, X0, params, sig)
+    from sympgpr_tpu.maps.fast_apply import _q_factors
+
+    ly = params[1]
+    dq = X[:, None, 0] - X0[None, :, 0]
+    dP = X[:, None, 1] - X0[None, :, 1]
+    A, sp, spp = _q_factors(kernel.name, dq, params)
+    B = jnp.exp(-(dP**2) / (2.0 * ly**2))
+    ily2 = 1.0 / ly**2
+    AB = A * B
+    dxdx = (spp - sp**2) * AB
+    dydy = (ily2 - dP**2 * ily2**2) * AB
+    dxdy = -sp * dP * ily2 * AB
+    return sig * jnp.block([[dxdx, dxdy], [dxdy, dydy]])
+
+
 def pack_points(q: Array, P: Array) -> Array:
     """Stack coordinate arrays (N,) + (N,) -> (N, 2) points."""
     return jnp.stack([q, P], axis=-1)

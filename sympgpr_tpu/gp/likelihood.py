@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sympgpr_tpu.gp.covariance import build_K, build_Kreg
+from sympgpr_tpu.gp.covariance import build_K, build_K_fast, build_Kreg
 from sympgpr_tpu.kernels.variants import Kernel
 
 Array = jax.Array
@@ -63,7 +63,7 @@ def nll(
 
     X: (N, 2) mixed training points (q, P); z: (2N,) targets (p-P | Q-q).
     """
-    K = build_K(kernel, X, X, params, sig)
+    K = build_K_fast(kernel, X, X, params, sig)
     Ky = K + jnp.abs(sig2n) * jnp.eye(K.shape[0], dtype=K.dtype)
     return _nll_from_Ky(Ky, z)
 

@@ -61,3 +61,18 @@ def test_pack_unpack():
     assert X.shape == (4, 2)
     flat = jnp.concatenate([q, P])
     np.testing.assert_allclose(unpack_flat(flat), X)
+
+
+def test_build_K_fast_matches_autodiff():
+    from sympgpr_tpu.gp.covariance import build_K_fast
+    from sympgpr_tpu.kernels import PER_SE_FREQ, SE_SE, SUM_PER_SE
+
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.uniform(-2, 2, (7, 2)))
+    X0 = jnp.asarray(rng.uniform(-2, 2, (5, 2)))
+    for kernel in (PER_SE, SE_SE, PER_SE_FREQ, SUM_PER_SE):
+        params = jnp.array([0.9, 1.2, 0.7])[: kernel.n_params]
+        Kf = build_K_fast(kernel, X, X0, params, 2.0)
+        Ka = build_K(kernel, X, X0, params, 2.0)
+        np.testing.assert_allclose(np.asarray(Kf), np.asarray(Ka),
+                                   rtol=1e-12, atol=1e-13)
