@@ -37,7 +37,9 @@ def test_sharded_nll_matches_dense(mesh):
         PER_SE, mesh, params, jnp.asarray(2.0), jnp.asarray(1e-8), X, z
     )
     v_dense = nll(PER_SE, params, jnp.asarray(2.0), jnp.asarray(1e-8), X, z)
-    np.testing.assert_allclose(float(v_sharded), float(v_dense), rtol=1e-12)
+    # dense nll uses the closed-form build, sharded the autodiff build:
+    # identical math, slightly different arithmetic order
+    np.testing.assert_allclose(float(v_sharded), float(v_dense), rtol=1e-9)
 
 
 def test_sharded_train_step_descends(mesh):
