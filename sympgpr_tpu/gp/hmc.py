@@ -31,19 +31,20 @@ class HMCResult(NamedTuple):
     accept_rate: Array   # (chains,)
 
 
-def _kernel_one_chain(logprob, step_size, n_leapfrog):
+def _kernel_one_chain(logprob, n_leapfrog):
     grad = jax.grad(logprob)
 
     def hmc_step(carry, key):
-        x, lp = carry
+        """One HMC transition; step size carried (dual-averaging warmup)."""
+        x, lp, eps = carry
         kmom, kacc = jax.random.split(key)
         p0 = jax.random.normal(kmom, x.shape, dtype=x.dtype)
 
         def leap(_, state):
             xx, pp = state
-            pp = pp + 0.5 * step_size * grad(xx)
-            xx = xx + step_size * pp
-            pp = pp + 0.5 * step_size * grad(xx)
+            pp = pp + 0.5 * eps * grad(xx)
+            xx = xx + eps * pp
+            pp = pp + 0.5 * eps * grad(xx)
             return xx, pp
 
         x1, p1 = jax.lax.fori_loop(0, n_leapfrog, leap, (x, p0))
@@ -52,15 +53,16 @@ def _kernel_one_chain(logprob, step_size, n_leapfrog):
         lp1 = jnp.where(jnp.isfinite(lp1), lp1, -jnp.inf)
         log_alpha = (lp1 - 0.5 * p1 @ p1) - (lp - 0.5 * p0 @ p0)
         accept = jnp.log(jax.random.uniform(kacc, dtype=x.dtype)) < log_alpha
+        alpha = jnp.minimum(1.0, jnp.exp(log_alpha))
         x = jnp.where(accept, x1, x)
         lp = jnp.where(accept, lp1, lp)
-        return (x, lp), (x, lp, accept)
+        return (x, lp, eps), (x, lp, accept, alpha)
 
     return hmc_step
 
 
 @partial(jax.jit, static_argnames=("logprob", "n_samples", "n_warmup",
-                                   "n_leapfrog"))
+                                   "n_leapfrog", "adapt_step_size"))
 def sample_hmc(
     logprob: Callable[[Array], Array],
     x0s: Array,
@@ -70,17 +72,54 @@ def sample_hmc(
     step_size: float = 0.05,
     n_leapfrog: int = 16,
     seed: int = 0,
+    adapt_step_size: bool = False,
+    target_accept: float = 0.8,
 ) -> HMCResult:
-    """Run HMC from (chains, dim) initial points; all chains vmapped."""
+    """Run HMC from (chains, dim) initial points; all chains vmapped.
+
+    With ``adapt_step_size`` the warmup phase tunes the step size per chain
+    by dual averaging (Hoffman & Gelman 2014, Algorithm 5) toward
+    ``target_accept``; sampling then runs at the averaged step size.
+    """
     chains, dim = x0s.shape
-    step = _kernel_one_chain(logprob, step_size, n_leapfrog)
+    step = _kernel_one_chain(logprob, n_leapfrog)
 
     def one_chain(x0, key):
         lp0 = logprob(x0)
         keys = jax.random.split(key, n_warmup + n_samples)
-        (x, lp), (xs, lps, accs) = jax.lax.scan(step, (x0, lp0), keys)
-        return (xs[n_warmup:], lps[n_warmup:],
-                jnp.mean(accs[n_warmup:].astype(x0.dtype)))
+        eps0 = jnp.asarray(step_size, x0.dtype)
+
+        if adapt_step_size and n_warmup > 0:
+            mu = jnp.log(10.0 * eps0)
+            gamma, t0c, kappa = 0.05, 10.0, 0.75
+
+            def warm_body(carry, key):
+                state, log_eps_bar, h_bar, t = carry
+                state, (_, _, _, alpha) = step(state, key)
+                x, lp, _ = state
+                h_bar = (1 - 1 / (t + t0c)) * h_bar + (
+                    (target_accept - alpha) / (t + t0c))
+                log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+                w = t ** (-kappa)
+                log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
+                return ((x, lp, jnp.exp(log_eps)), log_eps_bar, h_bar,
+                        t + 1.0), None
+
+            init = ((x0, lp0, eps0), jnp.log(eps0),
+                    jnp.asarray(0.0, x0.dtype), jnp.asarray(1.0, x0.dtype))
+            (state, log_eps_bar, _, _), _ = jax.lax.scan(
+                warm_body, init, keys[:n_warmup])
+            x, lp, _ = state
+            eps = jnp.exp(log_eps_bar)
+        else:
+            state = (x0, lp0, eps0)
+            if n_warmup > 0:
+                state, _ = jax.lax.scan(step, state, keys[:n_warmup])
+            x, lp, eps = state
+
+        _, (xs, lps, accs, _) = jax.lax.scan(step, (x, lp, eps),
+                                             keys[n_warmup:])
+        return xs, lps, jnp.mean(accs.astype(x0.dtype))
 
     keys = jax.random.split(jax.random.PRNGKey(seed), chains)
     xs, lps, acc = jax.vmap(one_chain)(x0s, keys)

@@ -92,3 +92,20 @@ def test_hmc_sharded_runs():
                                  step_size=0.3, n_leapfrog=8)
     assert res.samples.shape == (8, 100, 2)
     assert np.isfinite(np.asarray(res.samples)).all()
+
+
+def test_hmc_step_size_adaptation():
+    """Dual-averaging warmup reaches ~target acceptance on a Gaussian."""
+
+    def logprob(x):
+        return -0.5 * jnp.sum(x**2)
+
+    x0s = jnp.zeros((4, 3)) + 0.1
+    res = hmc.sample_hmc(logprob, x0s, 400, n_warmup=400, step_size=1e-3,
+                         n_leapfrog=8, seed=2, adapt_step_size=True)
+    # started at a uselessly tiny step size; adaptation should reach an
+    # acceptance rate near the 0.8 target (well away from ~1.0 at eps→0)
+    acc = np.asarray(res.accept_rate)
+    assert np.all(acc > 0.55) and np.all(acc < 0.98)
+    s = np.asarray(res.samples).reshape(-1, 3)
+    np.testing.assert_allclose(s.var(0), np.ones(3), rtol=0.3)
