@@ -116,6 +116,12 @@ def main():
             t,
         )
 
+    if on_tpu:
+        # f32 deployment conditioning: re-solve alpha at a larger jitter so
+        # |alpha| ~ O(1) and f32 rollouts match f64 quality (docs/DESIGN.md)
+        with jax.default_device(cpu):
+            sgp = sgp.for_deployment(1e-3)
+            aux = aux.for_deployment(1e-3)
     sgp_a, aux_a = cast(sgp), cast(aux)
     lf = wtok.make_loss_fn(cfg, use_new_q=False)
     tol = 1e-5 if dtype == jnp.float32 else 1e-12

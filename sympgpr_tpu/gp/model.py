@@ -76,6 +76,24 @@ class SympGP(struct.PyTreeNode):
         K = build_K(self.kernel, self.X, self.X, self.params, self.sig)
         return jnp.mean((K @ self.alpha - self.z) ** 2)
 
+    def for_deployment(self, rel_jitter: float = 1e-3) -> "SympGP":
+        """Re-solve alpha/L at a larger jitter for float32 execution.
+
+        Smooth-kernel GP interpolation at tiny jitter produces |alpha| ~ 1e3+
+        whose posterior sums cancel heavily; in float32 that cancellation
+        amplifies round-off ~1e3x and (measured on the tokamak workload)
+        degrades rollout energy statistics ~12x.  Re-solving with
+        ``sig2n = rel_jitter * max(diag K)`` trades a bounded interpolation
+        bias for |alpha| ~ O(1): at rel_jitter ~ 1e-3 the f32 rollout matches
+        the f64 one within Monte-Carlo error (see docs/DESIGN.md section 4).
+        Hyperparameters are untouched.
+        """
+        K = build_K(self.kernel, self.X, self.X, self.params, self.sig)
+        sig2n = rel_jitter * jnp.max(jnp.diagonal(K))
+        Ky = K + sig2n * jnp.eye(K.shape[0], dtype=K.dtype)
+        L, alpha = chol_and_alpha(Ky, self.z)
+        return self.replace(sig2n=sig2n, alpha=alpha, L=L)
+
 
 class AuxGP(struct.PyTreeNode):
     """Auxiliary ordinary GP used for the Newton initial guess.
@@ -98,6 +116,14 @@ class AuxGP(struct.PyTreeNode):
     z: Array
     alpha: Array
     L: Array
+
+    def for_deployment(self, rel_jitter: float = 1e-3) -> "AuxGP":
+        """f32-friendly re-solve; see ``SympGP.for_deployment``."""
+        K = build_Kreg(self.kernel, self.X, self.X, self.params, self.sig)
+        sig2n = rel_jitter * jnp.max(jnp.diagonal(K))
+        Ky = K + sig2n * jnp.eye(K.shape[0], dtype=K.dtype)
+        L, alpha = chol_and_alpha(Ky, self.z)
+        return self.replace(sig2n=sig2n, alpha=alpha, L=L)
 
     @classmethod
     def create(

@@ -98,3 +98,22 @@ def test_model_artifact_roundtrip(tmp_path):
     v = jnp.array([1.0, 0.3])
     np.testing.assert_allclose(np.asarray(dF_mean(sgp2, v)),
                                np.asarray(dF_mean(sgp, v)), rtol=1e-14)
+
+
+def test_for_deployment_conditioning():
+    """Deployment re-solve shrinks |alpha| while keeping a bounded
+    interpolation bias (the f32-quality knob; docs/DESIGN.md section 4)."""
+    _, sgp, aux = _setup()
+    dep = sgp.for_deployment(1e-3)
+    assert float(jnp.max(jnp.abs(dep.alpha))) < float(
+        jnp.max(jnp.abs(sgp.alpha)))
+    # posterior still reproduces the targets to ~rel_jitter level
+    from sympgpr_tpu.gp.covariance import build_K
+
+    K = build_K(sgp.kernel, sgp.X, sgp.X, sgp.params, sgp.sig)
+    err = float(jnp.mean((K @ dep.alpha - sgp.z) ** 2))
+    assert err < 5e-3
+    # hyperparameters untouched
+    np.testing.assert_allclose(np.asarray(dep.params), np.asarray(sgp.params))
+    dep_aux = aux.for_deployment(1e-3)
+    assert np.isfinite(np.asarray(dep_aux.alpha)).all()
