@@ -68,6 +68,9 @@ def _register():
         "henon_heiles": (henon_heiles.run,
                          lambda a: HenonConfig(nm=a.nm or 500)),
         "tokamak": (tokamak.run, lambda a: TokamakConfig(nm=a.nm or 1000)),
+        "tokamak_pallas": (
+            lambda cfg: tokamak.run(cfg, backend="pallas"),
+            lambda a: TokamakConfig(nm=a.nm or 1000)),
         "tokamak_split": (
             lambda cfg: tokamak.run(cfg, optimizer="lbfgs"),
             lambda a: TokamakConfig(N=70, nphmap=4, nph=100, r_scale=0.38,

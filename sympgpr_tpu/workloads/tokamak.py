@@ -109,7 +109,9 @@ def run(
         cast32 = lambda t: jtu.tree_map(
             lambda a: jnp.asarray(a, jnp.float32)
             if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
-        pm = psk.pack_models(cast32(sgps[0]), cast32(auxes[0]),
+        # f32 conditioning: re-solve alpha at deployment jitter (DESIGN.md)
+        pm = psk.pack_models(cast32(sgps[0].for_deployment(1e-3)),
+                             cast32(auxes[0].for_deployment(1e-3)),
                              mod_q=2 * np.pi)
         B = len(np.asarray(Q0))
         pad = (-B) % psk.LANE_TILE
