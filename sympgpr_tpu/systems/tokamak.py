@@ -174,6 +174,56 @@ def integrate_fieldlines(
     return jnp.concatenate([z0[None], zs], axis=0)
 
 
+def _fieldline_rhs(field: TokamakField, z: Array, ph, rlast):
+    """Explicit field-line ODE in (pth, th) with ph as time
+    (``fieldlines_rk.py:43-50``):  pth' = dAph/dth − dAph/dr · dAth/dth / dAth/dr,
+    th' = −dAph/dr / dAth/dr.  Returns ((2,) rhs, minor radius used)."""
+    r = compute_r(z[0], z[1], ph, rlast)
+    dApdr = dAphdr(field, r, z[1], ph)
+    dApdt = dAphdth(field, r, z[1], ph)
+    dAtdr = dAthdr(r, z[1], ph)
+    dAtdt = dAthdth(r, z[1], ph)
+    return jnp.array([dApdt - dApdr * dAtdt / dAtdr, -dApdr / dAtdr]), r
+
+
+@partial(jax.jit, static_argnames=("field", "n_steps", "nph"))
+def integrate_fieldlines_rk4(
+    field: TokamakField,
+    pth0: Array,
+    th0: Array,
+    ph0: Array,
+    nph: int,
+    n_steps: int,
+    rlast0: Array,
+):
+    """Explicit RK4 cross-integrator (validation twin of the reference's
+    ``fieldlines_rk.py`` odeint path, P10): independent discretization of the
+    same field-line flow as the semi-implicit midpoint ``timestep``; the two
+    trajectories agreeing is a physics invariant check, not a tautology.
+    Batched over B particles; returns (n_steps+1, B, 3)."""
+    dph = 2.0 * np.pi / nph
+    z0 = jnp.stack([pth0, th0, ph0], axis=-1)
+
+    def one(z, rl):
+        ph = z[2]
+        k1, r1 = _fieldline_rhs(field, z[:2], ph, rl)
+        k2, _ = _fieldline_rhs(field, z[:2] + 0.5 * dph * k1, ph + 0.5 * dph, r1)
+        k3, _ = _fieldline_rhs(field, z[:2] + 0.5 * dph * k2, ph + 0.5 * dph, r1)
+        k4, _ = _fieldline_rhs(field, z[:2] + dph * k3, ph + dph, r1)
+        znew = z[:2] + dph / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+        return jnp.array([znew[0], znew[1], ph + dph]), r1
+
+    step = jax.vmap(one)
+
+    def body(carry, _):
+        z, rl = carry
+        z, rl = step(z, rl)
+        return (z, rl), z
+
+    (_, _), zs = jax.lax.scan(body, (z0, rlast0), None, length=n_steps)
+    return jnp.concatenate([z0[None], zs], axis=0)
+
+
 # ---------------------------------------------------------------------------
 # Workload data generation
 

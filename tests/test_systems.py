@@ -143,3 +143,40 @@ def test_pert_pendulum_stroboscope_unperturbed_is_pendulum():
 
     ref = solve_ivp(dydt, [0, 2 * np.pi], [0.4, 0.1], rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(np.asarray(out[0]), ref.y[:, -1], rtol=1e-8)
+
+
+def test_tokamak_rk4_vs_midpoint_cross_integrator():
+    """P10 parity: two independent discretizations of the perturbed
+    field-line flow (explicit RK4 vs semi-implicit midpoint) must agree —
+    the reference validates its Fortran integrator the same way
+    (fieldlines_rk.py / fieldlines_mid.py vs fieldlines_fast.py)."""
+    f = tk.TokamakField(eps=0.001)
+    nph, nturn = 128, 3
+    pth0 = jnp.asarray([float(tk.Ath(0.2, 0.5, 0.0)),
+                        float(tk.Ath(0.3, 2.0, 0.0))])
+    th0 = jnp.asarray([0.5, 2.0])
+    ph0 = jnp.zeros(2)
+    rl0 = jnp.asarray([0.2, 0.3])
+    tr_mid = tk.integrate_fieldlines(f, pth0, th0, ph0, nph, nph * nturn, rl0)
+    tr_rk = tk.integrate_fieldlines_rk4(f, pth0, th0, ph0, nph, nph * nturn,
+                                        rl0)
+    # agreement bounded by the midpoint rule's O(h^2) truncation error ...
+    err1 = float(np.max(np.abs(np.asarray(tr_rk) - np.asarray(tr_mid))))
+    assert err1 < 2e-4
+    # ... and halving h shrinks the gap ~4x (2nd-order convergence toward
+    # the same flow; a wrong term in either integrator would not converge)
+    tr_mid2 = tk.integrate_fieldlines(f, pth0, th0, ph0, 2 * nph,
+                                      2 * nph * nturn, rl0)
+    tr_rk2 = tk.integrate_fieldlines_rk4(f, pth0, th0, ph0, 2 * nph,
+                                         2 * nph * nturn, rl0)
+    err2 = float(np.max(np.abs(np.asarray(tr_rk2[::2]) -
+                               np.asarray(tr_mid2[::2]))))
+    assert err2 < err1 / 3.0
+    # and RK4 alone reproduces the analytic safety factor (unperturbed)
+    f0 = tk.TokamakField(eps=0.0)
+    tr = tk.integrate_fieldlines_rk4(
+        f0, jnp.asarray([float(tk.Ath(0.25, 0.0, 0.0))]), jnp.zeros(1),
+        jnp.zeros(1), 128, 128 * 20, jnp.asarray([0.25]))
+    qs = float(tr[-1, 0, 2] - tr[0, 0, 2]) / float(tr[-1, 0, 1] - tr[0, 0, 1])
+    np.testing.assert_allclose(qs, 1.0 / (1.0 - 0.25**2 / tk.A_MINOR**2),
+                               rtol=2e-3)
