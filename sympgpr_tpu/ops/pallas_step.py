@@ -65,6 +65,11 @@ class PackedModels(struct.PyTreeNode):
     scal: Array    # (8,) lx, ly, aux_lx, aux_ly, aux_delta, mod_q, pad, pad
     kind: int = struct.field(pytree_node=False, default=0)
     aux_kind: int = struct.field(pytree_node=False, default=0)
+    # true (unpadded) training-set sizes; the sublane-major rollout path
+    # re-pads to a multiple of 8 sublanes instead of 128 lanes (at N=80
+    # that's 88 rows instead of 128 — 1.45x less VPU work per step)
+    n: int = struct.field(pytree_node=False, default=0)
+    na: int = struct.field(pytree_node=False, default=0)
 
 
 def _pad_row(x: np.ndarray, n: int) -> np.ndarray:
@@ -105,6 +110,8 @@ def pack_models(sgp: SympGP, aux: AuxGP, mod_q: float | None) -> PackedModels:
         scal=jnp.asarray(scal),
         kind=_KIND[sgp.kernel.name],
         aux_kind=_KIND[aux.kernel.name],
+        n=n,
+        na=na,
     )
 
 
@@ -330,12 +337,15 @@ def _rollout_kernel(
 
         if loss_check:
             # tokamak loss boundary: r from pth = Ath(r, th) (20-iter
-            # Newton, fieldlines.f90:94-107), poison r > 0.5 or P < 0
+            # Newton, fieldlines.f90:94-107), poison r > 0.5 or P < 0.
+            # cos(q) is loop-invariant — hoisted (it was 36% of the whole
+            # rollout when evaluated inside the iteration).
             pth = P * 1e-2
+            cq = jnp.cos(q)
 
             def rit(_, r):
-                y = pth - (r * r / 2.0 - r * r * r / 3.0 * jnp.cos(q))
-                dy = -(r - r * r * jnp.cos(q))
+                y = pth - (r * r / 2.0 - r * r * r / 3.0 * cq)
+                dy = -(r - r * r * cq)
                 return r - y / dy
 
             r = jax.lax.fori_loop(0, 20, rit, jnp.full_like(P, 0.3))
@@ -356,10 +366,23 @@ def _rollout_kernel(
 
 
 def _pack_cols(pm: PackedModels):
-    """Transpose packed rows (1, N) -> sublane-major columns (N, 1)."""
-    t = lambda a: a.reshape(-1, 1)
-    return (t(pm.uq), t(pm.uP), t(pm.a0), t(pm.a1),
-            t(pm.auxq), t(pm.auxp), t(pm.auxa))
+    """Transpose packed rows (1, N_pad) -> sublane-major columns.
+
+    The sublane axis only needs a multiple of 8, so slice the 128-lane
+    padding back down (zero-alpha pad rows contribute nothing either way;
+    keeping 88 instead of 128 rows at N=80 cuts the dominant (N, B)
+    elementwise work by 1.45x).
+    """
+
+    def cut(a, k):
+        if k <= 0:  # legacy packs without sizes
+            return a.reshape(-1, 1)
+        k8 = max(8, -(-k // 8) * 8)
+        return a[:, :k8].reshape(-1, 1)
+
+    return (cut(pm.uq, pm.n), cut(pm.uP, pm.n), cut(pm.a0, pm.n),
+            cut(pm.a1, pm.n), cut(pm.auxq, pm.na), cut(pm.auxp, pm.na),
+            cut(pm.auxa, pm.na))
 
 
 LANE_TILE = 128

@@ -131,7 +131,12 @@ def timestep(field: TokamakField, dph, z, rlast, newton_iters: int = 8):
     def body(_, znew):
         f = res(znew)
         J = jac(znew)
-        return znew - jnp.linalg.solve(J, f)
+        # closed-form 2x2 solve (Cramer); jnp.linalg.solve lowers to an LU
+        # decomposition, which the TPU backend rejects in f64
+        det = J[0, 0] * J[1, 1] - J[0, 1] * J[1, 0]
+        dx0 = (f[0] * J[1, 1] - f[1] * J[0, 1]) / det
+        dx1 = (J[0, 0] * f[1] - J[1, 0] * f[0]) / det
+        return znew - jnp.stack([dx0, dx1])
 
     znew = jax.lax.fori_loop(0, newton_iters, body, z[:2])
     _, r_mid = _tstep_residual(field, dph, znew, z, rlast)
