@@ -117,15 +117,27 @@ def pack_models(sgp: SympGP, aux: AuxGP, mod_q: float | None) -> PackedModels:
 
 def _afactors(kind: int, d, lx):
     """A(d) = exp(-s), s'(d), s''(d); kind is a *static* python int."""
-    if kind == 0:  # periodic
-        s = jnp.sin(0.5 * d) ** 2 / (2.0 * lx * lx)
-        sp = jnp.sin(d) / (4.0 * lx * lx)
-        spp = jnp.cos(d) / (4.0 * lx * lx)
-    else:  # squared exponential
-        s = d * d / (2.0 * lx * lx)
-        sp = d / (lx * lx)
-        spp = jnp.ones_like(d) / (lx * lx)
+    s, sp, spp = _sfactors(kind, d, lx)
     return jnp.exp(-s), sp, spp
+
+
+def _sfactors(kind: int, d, lx):
+    """Log-space kernel factor: s(d) with A = exp(-s), plus s', s''.
+
+    One sin/cos pair at half angle covers all three periodic factors via
+    double-angle identities (sin d = 2 sh ch, cos d = 1 - 2 sh^2) — one
+    transcendental fewer per (N, B) block than evaluating sin d and cos d
+    directly, and returning s (not exp(-s)) lets callers fuse several
+    kernel factors into a single exp.
+    """
+    i2 = 0.5 / (lx * lx)
+    if kind == 0:  # periodic: s = sin^2(d/2)/(2lx^2)
+        sh = jnp.sin(0.5 * d)
+        ch = jnp.cos(0.5 * d)
+        s2 = sh * sh
+        return s2 * i2, (sh * ch) * i2, (0.5 - s2) * i2
+    # squared exponential: s = d^2/(2lx^2)
+    return d * d * i2, d * (2.0 * i2), jnp.full_like(d, 2.0 * i2)
 
 
 def _step_kernel(
@@ -144,10 +156,10 @@ def _step_kernel(
 
     # ---- aux guess (one pass over aux train lanes) ----
     dqa = auxq_ref[:] - q  # (TILE_B, Na) via broadcast
-    Aa, _, _ = _afactors(aux_kind, dqa, alx)
+    sa, _, _ = _sfactors(aux_kind, dqa, alx)
     dpa = auxp_ref[:] - p
-    Ba = jnp.exp(-(dpa * dpa) / (2.0 * aly * aly))
-    mean = jnp.sum(auxa_ref[:] * Aa * Ba, axis=1, keepdims=True)
+    st = sa + (dpa * dpa) * (0.5 / (aly * aly))
+    mean = jnp.sum(auxa_ref[:] * jnp.exp(-st), axis=1, keepdims=True)
     P = mean + delta * p
 
     # ---- Newton-invariant coefficients ----
@@ -307,28 +319,31 @@ def _rollout_kernel(
 
     def map_step(i, carry):
         q, p = carry
-        # aux guess
+        # aux guess — q- and p-factors fused into ONE exp (log-space sum)
         dqa = auxq - q
-        Aa, _, _ = _afactors(aux_kind, dqa, alx)
+        sa, _, _ = _sfactors(aux_kind, dqa, alx)
         dpa = auxp - p
-        Ba = jnp.exp(-(dpa * dpa) / (2.0 * aly * aly))
-        mean = jnp.sum(auxa * Aa * Ba, axis=0, keepdims=True)
+        st = sa + (dpa * dpa) * (0.5 / (aly * aly))
+        mean = jnp.sum(auxa * jnp.exp(-st), axis=0, keepdims=True)
         P = mean + delta * p
         # Newton-invariant coefficients
         d = uq - q
-        A, sp, spp = _afactors(kind, d, lx)
+        s, sp, spp = _sfactors(kind, d, lx)
+        A = jnp.exp(-s)
         c0 = a0 * (spp - sp * sp) * A
         c1 = -a1 * sp * A * ily2
         c2 = -a0 * sp * A * ily2
         c3 = a1 * A
+        c0i = c0 * ily2
+        c1i = c1 * ily2
 
         def newton(_, P):
             dP = uP - P
-            B = jnp.exp(-(dP * dP) * (0.5 * ily2))
+            dP2 = dP * dP
+            B = jnp.exp(-dP2 * (0.5 * ily2))
             f = jnp.sum((c0 + c1 * dP) * B, axis=0, keepdims=True) - p + P
             fp = jnp.sum(
-                (c0 * dP * ily2 + c1 * (dP * dP * ily2 - 1.0)) * B,
-                axis=0, keepdims=True,
+                (c0i * dP + c1i * dP2 - c1) * B, axis=0, keepdims=True,
             ) + 1.0
             Pn = P - f / fp
             return jnp.where(jnp.isfinite(Pn), Pn, P)
@@ -352,8 +367,9 @@ def _rollout_kernel(
             P = jnp.where((r > 0.5) | (P < 0.0), jnp.nan, P)
 
         dP = uP - P
-        B = jnp.exp(-(dP * dP) * (0.5 * ily2))
-        dq = jnp.sum((c2 * dP + c3 * (ily2 - dP * dP * ily2 * ily2)) * B,
+        dP2 = dP * dP
+        B = jnp.exp(-dP2 * (0.5 * ily2))
+        dq = jnp.sum((c2 * dP + c3 * (ily2 - dP2 * ily2 * ily2)) * B,
                      axis=0, keepdims=True)
         Q = q + dq
         Q = jnp.where(mod_q > 0.0, Q - jnp.floor(Q / mod_q) * mod_q, Q)
@@ -430,10 +446,16 @@ def _rollout_call(cols, scal, q0g, p0g, kind, aux_kind, iters, nm,
 
 
 def rollout_in_kernel(
-    pm: PackedModels, q0: Array, p0: Array, nm: int, iters: int = 8,
+    pm: PackedModels, q0: Array, p0: Array, nm: int, iters: int = 5,
     loss_check: bool = False, interpret: bool = False,
 ):
     """Full nm-step rollout in ONE pallas_call (trajectory included).
+
+    iters=5 default: from the aux-GP warm start the Newton update is
+    quadratically convergent and hits f32 roundoff in <=4 iterations
+    (measured one-step max|dP| vs a 16-iteration solve: 7.6e-6 at 4, the
+    same magnitude as the 8-vs-16 summation noise); 5 keeps one iteration
+    of margin and is ~17% faster end-to-end than 8.
 
     B must be a multiple of 128.  VMEM per tile is ~2 * nm * 128 * 4 bytes;
     keep nm <= ~8000 per call (chunk longer rollouts with the final carry).

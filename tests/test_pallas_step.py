@@ -73,7 +73,7 @@ def test_rollout_in_kernel_matches_stepwise():
     for i in range(1, nm):
         qq = jnp.concatenate([q, pad])
         pp = jnp.concatenate([p, pad])
-        Qs, Ps = ps.fused_map_step(pm, qq, pp, iters=8, interpret=True)
+        Qs, Ps = ps.fused_map_step(pm, qq, pp, iters=5, interpret=True)
         q = jnp.mod(Qs[:B], 2 * np.pi)
         p = Ps[:B]
         np.testing.assert_allclose(np.asarray(P[i]), np.asarray(p),
