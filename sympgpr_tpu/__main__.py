@@ -23,8 +23,11 @@ import numpy as np
 def _setup_jax(x64: bool = True, platform: str | None = None):
     import jax
 
+    from sympgpr_tpu.devices import ensure_cpu_backend
+
     if platform:
         jax.config.update("jax_platforms", platform)
+    ensure_cpu_backend()  # keep a host backend for f64 data-gen/fits
     jax.config.update("jax_enable_x64", x64)
 
 

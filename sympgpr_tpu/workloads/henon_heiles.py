@@ -24,28 +24,32 @@ from sympgpr_tpu.systems import henon_heiles as hh
 def run(cfg: hh.HenonConfig = hh.HenonConfig(), nm: int | None = None,
         with_reference: bool = True) -> dict[str, Any]:
     nm = nm if nm is not None else cfg.nm
-    z0 = hh.training_ics(cfg)
-    pts, _ = hh.section_pairs(cfg, z0, 2)  # (2, N, 2) scaled
-    q, p = pts[0, :, 0], pts[0, :, 1]
-    Q, P = pts[1, :, 0], pts[1, :, 1]
+    from sympgpr_tpu.devices import host_fit, to_default_device
 
-    X = jnp.asarray(np.stack([q, P], 1))
-    z = jnp.asarray(np.concatenate([p - P, Q - q]))
-    Xp = jnp.asarray(np.stack([q, p], 1))
-    zp = jnp.asarray(P - p)
+    with host_fit():  # f64 data-gen + small-N fits belong on the host
+        z0 = hh.training_ics(cfg)
+        pts, _ = hh.section_pairs(cfg, z0, 2)  # (2, N, 2) scaled
+        q, p = pts[0, :, 0], pts[0, :, 1]
+        Q, P = pts[1, :, 0], pts[1, :, 1]
 
-    t0 = time.time()
-    sigp = 2.0 * float(np.max(np.abs(np.asarray(zp))) ** 2)
-    aux, _ = fit_auxgp(
-        SE_SE, Xp, zp, sig2n=cfg.sig2_n, x0=(0.0, 0.0), fixed_sig=sigp,
-        bounds=((-10, 1), (-10, 1)), delta=True,
-    )
-    sig = 2.0 * float(np.max(np.abs(np.asarray(z))) ** 2)
-    sgp, res = fit_sympgp(
-        SE_SE, X, z, sig2n=cfg.sig2_n, x0=(-1.0, -1.0), fixed_sig=sig,
-        bounds=((-2, 2), (-2, 2)), tol=1e-8,
-    )
-    t_train = time.time() - t0
+        X = jnp.asarray(np.stack([q, P], 1))
+        z = jnp.asarray(np.concatenate([p - P, Q - q]))
+        Xp = jnp.asarray(np.stack([q, p], 1))
+        zp = jnp.asarray(P - p)
+
+        t0 = time.time()
+        sigp = 2.0 * float(np.max(np.abs(np.asarray(zp))) ** 2)
+        aux, _ = fit_auxgp(
+            SE_SE, Xp, zp, sig2n=cfg.sig2_n, x0=(0.0, 0.0), fixed_sig=sigp,
+            bounds=((-10, 1), (-10, 1)), delta=True,
+        )
+        sig = 2.0 * float(np.max(np.abs(np.asarray(z))) ** 2)
+        sgp, res = fit_sympgp(
+            SE_SE, X, z, sig2n=cfg.sig2_n, x0=(-1.0, -1.0), fixed_sig=sig,
+            bounds=((-2, 2), (-2, 2)), tol=1e-8,
+        )
+        t_train = time.time() - t0
+    aux, sgp = to_default_device(aux), to_default_device(sgp)
 
     z0t = hh.test_ics(cfg)
     q0 = z0t[:, 1] * cfg.scale
@@ -65,7 +69,8 @@ def run(cfg: hh.HenonConfig = hh.HenonConfig(), nm: int | None = None,
         traj=traj,
     )
     if with_reference:
-        ref_pts, counts = hh.section_pairs(cfg, z0t, min(nm, 8))
+        with host_fit():  # f64 reference integration on the host too
+            ref_pts, counts = hh.section_pairs(cfg, z0t, min(nm, 8))
         out["ref_sections"] = ref_pts  # (cuts, Ntest, 2), scaled
         d = np.stack([np.asarray(traj.q[1]), np.asarray(traj.p[1])], -1)
         out["one_step_mse"] = float(

@@ -28,15 +28,20 @@ def config() -> sys_pend.PendulumConfig:
 
 def run(cfg: sys_pend.PendulumConfig | None = None) -> dict[str, Any]:
     cfg = cfg or config()
-    data = sys_pend.training_data(cfg)
-    X, z = jnp.asarray(data["X"]), jnp.asarray(data["z"])
-    sig = 2.0 * float(np.max(np.abs(data["z"])) ** 2)
+    from sympgpr_tpu.devices import host_fit, to_default_device
 
-    t0 = time.time()
-    sgp, res = fit_sympgp(
-        SUM_PER_SE, X, z, sig2n=cfg.sig2_n, x0=(-1.0, -1.0), fixed_sig=sig,
-    )
-    t_train = time.time() - t0
+    with host_fit():  # f64 data-gen + small-N fit belong on the host
+        data = sys_pend.training_data(cfg)
+        X, z = jnp.asarray(data["X"]), jnp.asarray(data["z"])
+        sig = 2.0 * float(np.max(np.abs(data["z"])) ** 2)
+
+        t0 = time.time()
+        sgp, res = fit_sympgp(
+            SUM_PER_SE, X, z, sig2n=cfg.sig2_n, x0=(-1.0, -1.0),
+            fixed_sig=sig,
+        )
+        t_train = time.time() - t0
+    sgp = to_default_device(sgp)
 
     q0, p0 = sys_pend.test_initial_conditions(cfg)
     map_cfg = MapConfig(explicit=True)

@@ -29,28 +29,33 @@ def run(
     with_reference: bool = True,
     with_comparator: bool = True,
 ) -> dict[str, Any]:
-    data = sys_pend.training_data(cfg)
-    X, z = jnp.asarray(data["X"]), jnp.asarray(data["z"])
-    Xp, zp = jnp.asarray(data["Xp"]), jnp.asarray(data["zp"])
+    from sympgpr_tpu.devices import host_fit, to_default_device
 
-    t0 = time.time()
-    # Step 1: aux GP of absolute P over (q,p); sig fixed 2*max|z|^2
-    # (main.py:124-135).  The reference optimizes these aux hyperparameters
-    # against the derivative-kernel NLL by accident (main.py:129-132 calls
-    # nll_chol, not a _reg variant); we use the ordinary-GP NLL as intended.
-    sigp = 2.0 * float(np.max(np.abs(data["zp"])) ** 2)
-    aux, aux_res = fit_auxgp(
-        PER_SE, Xp, zp, sig2n=cfg.sig2_n, x0=(0.0, 0.0), fixed_sig=sigp,
-        delta=False,
-    )
+    with host_fit():  # f64 data-gen + small-N fits belong on the host
+        data = sys_pend.training_data(cfg)
+        X, z = jnp.asarray(data["X"]), jnp.asarray(data["z"])
+        Xp, zp = jnp.asarray(data["Xp"]), jnp.asarray(data["zp"])
 
-    # Step 2: symplectic GP over mixed (q, P) (main.py:142-161)
-    sig = 2.0 * float(np.max(np.abs(data["z"])) ** 2)
-    sgp, sgp_res = fit_sympgp(
-        PER_SE, X, z, sig2n=cfg.sig2_n, x0=(-1.0, -1.0), fixed_sig=sig,
-        bounds=((-10, 1), (-10, 1)),
-    )
-    t_train = time.time() - t0
+        t0 = time.time()
+        # Step 1: aux GP of absolute P over (q,p); sig fixed 2*max|z|^2
+        # (main.py:124-135).  The reference optimizes these aux
+        # hyperparameters against the derivative-kernel NLL by accident
+        # (main.py:129-132 calls nll_chol, not a _reg variant); we use the
+        # ordinary-GP NLL as intended.
+        sigp = 2.0 * float(np.max(np.abs(data["zp"])) ** 2)
+        aux, aux_res = fit_auxgp(
+            PER_SE, Xp, zp, sig2n=cfg.sig2_n, x0=(0.0, 0.0), fixed_sig=sigp,
+            delta=False,
+        )
+
+        # Step 2: symplectic GP over mixed (q, P) (main.py:142-161)
+        sig = 2.0 * float(np.max(np.abs(data["z"])) ** 2)
+        sgp, sgp_res = fit_sympgp(
+            PER_SE, X, z, sig2n=cfg.sig2_n, x0=(-1.0, -1.0), fixed_sig=sig,
+            bounds=((-10, 1), (-10, 1)),
+        )
+        t_train = time.time() - t0
+    aux, sgp = to_default_device(aux), to_default_device(sgp)
 
     q0, p0 = sys_pend.test_initial_conditions(cfg)
     map_cfg = MapConfig(newton_tol=1e-12, newton_maxiter=10)
@@ -80,9 +85,10 @@ def run(
         # reference orbit at exactly one map time per test IC (quality gd),
         # batched RK4 instead of per-orbit solve_ivp (main.py:180-186)
         t_map = cfg.dtsymp * cfg.Nm
-        yref = sys_pend.integrate_rk4(
-            jnp.asarray(q0), jnp.asarray(p0), t_map, 10 * cfg.Nm
-        )
+        with host_fit():  # f64 reference integration on the host too
+            yref = sys_pend.integrate_rk4(
+                jnp.asarray(q0), jnp.asarray(p0), t_map, 10 * cfg.Nm
+            )
         q_ref = jnp.mod(yref[:, 0], 2 * jnp.pi)
         p_ref = yref[:, 1]
         gd, stdgd = metrics.geometric_distance(

@@ -28,22 +28,26 @@ def config() -> sys_pend.PendulumConfig:
 
 def run(cfg: sys_pend.PendulumConfig | None = None) -> dict[str, Any]:
     cfg = cfg or config()
-    data = sys_pend.training_data(cfg)
-    X, z = jnp.asarray(data["X"]), jnp.asarray(data["z"])
-    Xp, zp = jnp.asarray(data["Xp"]), jnp.asarray(data["zp"])
+    from sympgpr_tpu.devices import host_fit, to_default_device
 
-    t0 = time.time()
-    sigp = 2.0 * float(np.max(np.abs(data["zp"])) ** 2)
-    aux, _ = fit_auxgp(
-        PER_SE_FREQ, Xp, zp, sig2n=cfg.sig2_n, nll_sig2n=1e-6,
-        x0=(0.0, 0.0, -1.0), fixed_sig=sigp, delta=False,
-    )
-    sig = 2.0 * float(np.max(np.abs(data["z"])) ** 2)
-    sgp, res = fit_sympgp(
-        PER_SE_FREQ, X, z, sig2n=cfg.sig2_n, x0=(-1.0, 0.0, -0.3),
-        fixed_sig=sig,
-    )
-    t_train = time.time() - t0
+    with host_fit():  # f64 data-gen + small-N fits belong on the host
+        data = sys_pend.training_data(cfg)
+        X, z = jnp.asarray(data["X"]), jnp.asarray(data["z"])
+        Xp, zp = jnp.asarray(data["Xp"]), jnp.asarray(data["zp"])
+
+        t0 = time.time()
+        sigp = 2.0 * float(np.max(np.abs(data["zp"])) ** 2)
+        aux, _ = fit_auxgp(
+            PER_SE_FREQ, Xp, zp, sig2n=cfg.sig2_n, nll_sig2n=1e-6,
+            x0=(0.0, 0.0, -1.0), fixed_sig=sigp, delta=False,
+        )
+        sig = 2.0 * float(np.max(np.abs(data["z"])) ** 2)
+        sgp, res = fit_sympgp(
+            PER_SE_FREQ, X, z, sig2n=cfg.sig2_n, x0=(-1.0, 0.0, -0.3),
+            fixed_sig=sig,
+        )
+        t_train = time.time() - t0
+    aux, sgp = to_default_device(aux), to_default_device(sgp)
 
     freq = float(np.abs(sgp.params[2]))
     period_ratio = 0.5 / freq  # 1.0 when the true 2*pi period is recovered

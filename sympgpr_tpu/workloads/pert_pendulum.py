@@ -23,22 +23,26 @@ from sympgpr_tpu.systems import pert_pendulum as sys_pp
 
 def run(cfg: sys_pp.PertPendulumConfig = sys_pp.PertPendulumConfig(),
         with_reference: bool = True) -> dict[str, Any]:
-    data = sys_pp.training_data(cfg)
-    X, z = jnp.asarray(data["X"]), jnp.asarray(data["z"])
-    Xp, zp = jnp.asarray(data["Xp"]), jnp.asarray(data["zp"])
+    from sympgpr_tpu.devices import host_fit, to_default_device
 
-    t0 = time.time()
-    sigp = 2.0 * float(np.max(np.abs(data["zp"])) ** 2)
-    aux, _ = fit_auxgp(
-        PER_SE, Xp, zp, sig2n=cfg.sig2_n, x0=(0.5, 0.5), fixed_sig=sigp,
-        transform="linear", delta=False,
-    )
-    sig = 2.0 * float(np.max(np.abs(data["z"])) ** 2)
-    sgp, res = fit_sympgp(
-        PER_SE, X, z, sig2n=cfg.sig2_n, x0=(0.5, 0.5), fixed_sig=sig,
-        transform="linear",
-    )
-    t_train = time.time() - t0
+    with host_fit():  # f64 data-gen + small-N fits belong on the host
+        data = sys_pp.training_data(cfg)
+        X, z = jnp.asarray(data["X"]), jnp.asarray(data["z"])
+        Xp, zp = jnp.asarray(data["Xp"]), jnp.asarray(data["zp"])
+
+        t0 = time.time()
+        sigp = 2.0 * float(np.max(np.abs(data["zp"])) ** 2)
+        aux, _ = fit_auxgp(
+            PER_SE, Xp, zp, sig2n=cfg.sig2_n, x0=(0.5, 0.5), fixed_sig=sigp,
+            transform="linear", delta=False,
+        )
+        sig = 2.0 * float(np.max(np.abs(data["z"])) ** 2)
+        sgp, res = fit_sympgp(
+            PER_SE, X, z, sig2n=cfg.sig2_n, x0=(0.5, 0.5), fixed_sig=sig,
+            transform="linear",
+        )
+        t_train = time.time() - t0
+    aux, sgp = to_default_device(aux), to_default_device(sgp)
 
     q0, p0 = sys_pp.test_initial_conditions(cfg)
     t0 = time.time()
@@ -57,7 +61,8 @@ def run(cfg: sys_pp.PertPendulumConfig = sys_pp.PertPendulumConfig(),
         traj=traj,
     )
     if with_reference:
-        q_ref, p_ref = sys_pp.reference_orbits(cfg, q0, p0, cfg.nm)
+        with host_fit():  # f64 reference integration on the host too
+            q_ref, p_ref = sys_pp.reference_orbits(cfg, q0, p0, cfg.nm)
         out["q_ref"], out["p_ref"] = q_ref, p_ref
         dq = np.asarray(traj.q[1]) - np.mod(q_ref[1], 2 * np.pi)
         dq = np.minimum(np.abs(dq), 2 * np.pi - np.abs(dq))

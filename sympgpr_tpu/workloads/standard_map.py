@@ -25,39 +25,45 @@ def run(
     cfg: sys_map.StandardMapConfig = sys_map.StandardMapConfig(),
     method: str = "implicit",
 ) -> dict[str, Any]:
-    data = sys_map.training_data(cfg)
-    X, z = jnp.asarray(data["X"]), jnp.asarray(data["z"])
-    Xp, zp = jnp.asarray(data["Xp"]), jnp.asarray(data["zp"])
-    sig = 2.0 * float(np.max(np.abs(data["z"])) ** 2)
+    from sympgpr_tpu.devices import host_fit, to_default_device
 
-    t0 = time.time()
-    if method == "implicit":
-        # aux GP of P-p over (q,p), sig fixed (main.py:89-105)
-        sigp = 2.0 * float(np.max(np.abs(data["zp"])) ** 2)
-        aux, _ = fit_auxgp(
-            PER_SE, Xp, zp, sig2n=cfg.sig2_n, x0=(-1.0, -1.0),
-            fixed_sig=sigp, bounds=((-10, 1), (-10, 1)), delta=True,
-        )
-        sgp, res = fit_sympgp(
-            PER_SE, X, z, sig2n=cfg.sig2_n, x0=(0.0, -1.0), fixed_sig=sig,
-            bounds=((-2, 2), (-2, 2)), tol=1e-8,
-        )
-        map_cfg = MapConfig(
-            mod_q=2.0 * np.pi, mod_p=2.0 * np.pi, track_pdiff=True,
-            newton_tol=1e-12, newton_maxiter=30,
-        )
-    elif method == "explicit":
-        aux = None
-        sgp, res = fit_sympgp_separable(
-            SUM_PER_SE, X, z, sig2n=cfg.sig2_n, nll_sig2n=1e-8,
-            x0_q=(1.0,), x0_p=(1.0,), fixed_sig=sig,
-        )
-        map_cfg = MapConfig(
-            explicit=True, mod_q=None, mod_p=2.0 * np.pi, track_pdiff=True,
-        )
-    else:
-        raise ValueError(method)
-    t_train = time.time() - t0
+    with host_fit():  # f64 data-gen + small-N fits belong on the host
+        data = sys_map.training_data(cfg)
+        X, z = jnp.asarray(data["X"]), jnp.asarray(data["z"])
+        Xp, zp = jnp.asarray(data["Xp"]), jnp.asarray(data["zp"])
+        sig = 2.0 * float(np.max(np.abs(data["z"])) ** 2)
+
+        t0 = time.time()
+        if method == "implicit":
+            # aux GP of P-p over (q,p), sig fixed (main.py:89-105)
+            sigp = 2.0 * float(np.max(np.abs(data["zp"])) ** 2)
+            aux, _ = fit_auxgp(
+                PER_SE, Xp, zp, sig2n=cfg.sig2_n, x0=(-1.0, -1.0),
+                fixed_sig=sigp, bounds=((-10, 1), (-10, 1)), delta=True,
+            )
+            sgp, res = fit_sympgp(
+                PER_SE, X, z, sig2n=cfg.sig2_n, x0=(0.0, -1.0),
+                fixed_sig=sig, bounds=((-2, 2), (-2, 2)), tol=1e-8,
+            )
+            map_cfg = MapConfig(
+                mod_q=2.0 * np.pi, mod_p=2.0 * np.pi, track_pdiff=True,
+                newton_tol=1e-12, newton_maxiter=30,
+            )
+        elif method == "explicit":
+            aux = None
+            sgp, res = fit_sympgp_separable(
+                SUM_PER_SE, X, z, sig2n=cfg.sig2_n, nll_sig2n=1e-8,
+                x0_q=(1.0,), x0_p=(1.0,), fixed_sig=sig,
+            )
+            map_cfg = MapConfig(
+                explicit=True, mod_q=None, mod_p=2.0 * np.pi,
+                track_pdiff=True,
+            )
+        else:
+            raise ValueError(method)
+        t_train = time.time() - t0
+    sgp = to_default_device(sgp)
+    aux = to_default_device(aux) if aux is not None else None
 
     q0, p0 = sys_map.test_initial_conditions(cfg)
     t0 = time.time()

@@ -79,20 +79,26 @@ def run(
     """backend: 'generic' (f64-capable lax.scan path) or 'pallas' (fused
     f32 rollout kernel, single map only; batch padded to 128)."""
     nm = nm if nm is not None else cfg.nm
-    data = tk.training_data(cfg)
     M = cfg.nphmap
 
-    t0 = time.time()
-    auxes, sgps, fits = [], [], []
-    for m in range(M):
-        aux, sgp, res = _fit_one_split(
-            data["q"][:, m], data["p"][:, m], data["Q"][:, m],
-            data["P"][:, m], cfg, optimizer,
-        )
-        auxes.append(aux)
-        sgps.append(sgp)
-        fits.append(res)
-    t_train = time.time() - t0
+    # f64 data-gen + small-N fits run on the host (TPU f64 is emulated and
+    # ~20x slower here); models move to the accelerator for the rollout
+    from sympgpr_tpu.devices import host_fit, to_default_device
+
+    with host_fit():
+        data = tk.training_data(cfg)
+
+        t0 = time.time()
+        auxes, sgps, fits = [], [], []
+        for m in range(M):
+            aux, sgp, res = _fit_one_split(
+                data["q"][:, m], data["p"][:, m], data["Q"][:, m],
+                data["P"][:, m], cfg, optimizer,
+            )
+            auxes.append(aux)
+            sgps.append(sgp)
+            fits.append(res)
+        t_train = time.time() - t0
 
     (r0, th0), (r0p, th0p) = tk.test_initial_conditions(cfg)
     pth0, _ = tk.ics_to_pth(r0, th0)
@@ -109,10 +115,14 @@ def run(
         cast32 = lambda t: jtu.tree_map(
             lambda a: jnp.asarray(a, jnp.float32)
             if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
-        # f32 conditioning: re-solve alpha at deployment jitter (DESIGN.md)
-        pm = psk.pack_models(cast32(sgps[0].for_deployment(1e-3)),
-                             cast32(auxes[0].for_deployment(1e-3)),
-                             mod_q=2 * np.pi)
+        # f32 conditioning: re-solve alpha at deployment jitter (DESIGN.md).
+        # The re-solve is an f64 Cholesky — host work; only the packed f32
+        # arrays move to the accelerator.
+        with host_fit():
+            sgp_d = cast32(sgps[0].for_deployment(1e-3))
+            aux_d = cast32(auxes[0].for_deployment(1e-3))
+        pm = to_default_device(
+            psk.pack_models(sgp_d, aux_d, mod_q=2 * np.pi))
         B = len(np.asarray(Q0))
         pad = (-B) % psk.LANE_TILE
         Q0p = jnp.concatenate([jnp.asarray(Q0, jnp.float32),
@@ -129,13 +139,15 @@ def run(
     elif M == 1:
         map_cfg = MapConfig(newton_tol=1e-12, newton_maxiter=20)
         traj = apply_map(
-            sgps[0], auxes[0], Q0, P0, nm, map_cfg,
+            to_default_device(sgps[0]), to_default_device(auxes[0]),
+            Q0, P0, nm, map_cfg,
             loss_pre=make_loss_fn(cfg, use_new_q=False),
         )
     else:
         map_cfg = MapConfig(newton_tol=1e-12, newton_maxiter=20)
         traj = apply_map_split(
-            stack_models(sgps), stack_models(auxes), Q0, P0, nm, M, map_cfg,
+            to_default_device(stack_models(sgps)),
+            to_default_device(stack_models(auxes)), Q0, P0, nm, M, map_cfg,
             loss_post=make_loss_fn(cfg, use_new_q=True),
         )
     traj.q.block_until_ready()
@@ -162,12 +174,13 @@ def run(
 
     if with_reference:
         # reference orbits from the plotting IC set (one full turn per
-        # section point), matching calc_fieldlines.py:110-125
-        n_turns = max(nm // M, 1)
-        ref = tk.reference_orbits(cfg, r0p, th0p, n_turns)
+        # section point), matching calc_fieldlines.py:110-125 — f64 host work
+        with host_fit():
+            n_turns = max(nm // M, 1)
+            ref = tk.reference_orbits(cfg, r0p, th0p, n_turns)
+            ref_same = tk.reference_orbits(cfg, r0, th0, 1)
         out["ref_sections"] = np.asarray(ref[:: cfg.nph])  # (n_turns+1, B, 3)
         # gd of the first mapped section point vs reference from the SAME ICs
-        ref_same = tk.reference_orbits(cfg, r0, th0, 1)
         qr = np.mod(np.asarray(ref_same[-1, :, 1]), 2 * np.pi)
         pr = np.asarray(ref_same[-1, :, 0]) * cfg.momentum_scale
         gd, stdgd = metrics.geometric_distance(
