@@ -141,8 +141,39 @@ def main():
         dt = time.time() - t0
         return (nm - 1) * B / dt, traj
 
-    # reference-size run (30 orbits x 10k steps — the BASELINE.json target)
-    ref_steps_per_s, traj_small = rollout(len(q0), 10_000)
+    # reference-size run (30 orbits x 10k steps — the BASELINE.json target);
+    # on TPU the chunked whole-rollout pallas kernel removes the per-step
+    # scan dispatch floor that dominates at this tiny batch
+    if on_tpu:
+        from sympgpr_tpu.maps.symplectic import Trajectory
+        from sympgpr_tpu.ops import pallas_step as psk
+
+        jax.config.update("jax_enable_x64", False)
+        with jax.default_device(cpu):
+            pm = psk.pack_models(sgp_a, aux_a, mod_q=2 * np.pi)
+        pm = jtu.tree_map(lambda a: jax.device_put(a, accel), pm)
+        B0 = len(q0)
+        pad = (-B0) % psk.LANE_TILE
+        Q0r = jax.device_put(jnp.asarray(
+            np.concatenate([q0, np.full(pad, np.nan)]), dtype), accel)
+        P0r = jax.device_put(jnp.asarray(
+            np.concatenate([p0, np.full(pad, np.nan)]), dtype), accel)
+
+        def ref_run():
+            Q, P = psk.rollout_chunked(pm, Q0r, P0r, 10_000,
+                                       loss_check=True)
+            return Q[:, :B0], P[:, :B0]
+
+        Qr, Pr = ref_run()
+        Qr.block_until_ready()  # compile + warm
+        t0 = time.time()
+        Qr, Pr = ref_run()
+        Qr.block_until_ready()
+        ref_steps_per_s = (10_000 - 1) * B0 / (time.time() - t0)
+        traj_small = Trajectory(Qr, Pr, None)
+        jax.config.update("jax_enable_x64", True)
+    else:
+        ref_steps_per_s, traj_small = rollout(len(q0), 10_000)
 
     # throughput run (orbit-batched): fused Pallas rollout kernel on TPU,
     # the generic scan path elsewhere

@@ -470,3 +470,37 @@ def rollout_in_kernel(
     Q, P = _rollout_call(cols, pm.scal, q0g, p0g, pm.kind, pm.aux_kind,
                          iters, nm, loss_check, interpret)
     return Q, P
+
+
+def rollout_chunked(
+    pm: PackedModels, q0: Array, p0: Array, nm: int, iters: int = 5,
+    loss_check: bool = False, interpret: bool = False,
+    chunk: int = 4096,
+):
+    """Arbitrary-length rollout via VMEM-sized ``rollout_in_kernel`` chunks.
+
+    The whole-rollout kernel keeps its (nm, 128) trajectory block in VMEM,
+    which caps nm per call; this splits the time axis into ``chunk``-step
+    kernel launches carrying (q, p) across, so long reference rollouts
+    (e.g. the 10k-step tokamak runs, calc_fieldlines.py:19) still pay the
+    scan dispatch floor only once per chunk instead of once per step.
+    Returns (nm, B) trajectories like ``rollout_in_kernel``.
+    """
+    if nm <= chunk:
+        return rollout_in_kernel(pm, q0, p0, nm, iters=iters,
+                                 loss_check=loss_check, interpret=interpret)
+    # each n-row call emits the input state as row 0 and advances n-1 steps;
+    # non-first chunks drop that duplicate row.  NaN-poisoned orbits carry
+    # over naturally (NaN q/p stays NaN through the kernel).
+    Qs, Ps = [], []
+    q, p = q0, p0
+    rows = 0
+    while rows < nm:
+        n = min(chunk, nm - rows + (1 if rows else 0))
+        Q, P = rollout_in_kernel(pm, q, p, n, iters=iters,
+                                 loss_check=loss_check, interpret=interpret)
+        q, p = Q[-1], P[-1]
+        Qs.append(Q if rows == 0 else Q[1:])
+        Ps.append(P if rows == 0 else P[1:])
+        rows += n if rows == 0 else n - 1
+    return jnp.concatenate(Qs, axis=0), jnp.concatenate(Ps, axis=0)

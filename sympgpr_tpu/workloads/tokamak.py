@@ -133,8 +133,8 @@ def run(
         # Mosaic rejects the int64 loop indices x64 mode introduces, so run
         # the kernel under a scoped x64-off trace (values are f32 already)
         with jax.enable_x64(False):
-            Qt, Pt = psk.rollout_in_kernel(pm, Q0p, P0p, nm, loss_check=True,
-                                           interpret=interp)
+            Qt, Pt = psk.rollout_chunked(pm, Q0p, P0p, nm, loss_check=True,
+                                         interpret=interp)
         traj = Trajectory(Qt[:, :B], Pt[:, :B], None)
     elif M == 1:
         map_cfg = MapConfig(newton_tol=1e-12, newton_maxiter=20)

@@ -107,3 +107,20 @@ def test_pack_models_padding_is_inert():
     Q, P = ps.fused_map_step(pm, q, p, interpret=True)
     assert np.isfinite(np.asarray(Q)).all()
     assert np.isfinite(np.asarray(P)).all()
+
+
+def test_rollout_chunked_matches_single_call():
+    """Chunked long rollout must be bitwise-identical to one kernel call
+    (the carry is exactly the last emitted row, so the op sequence per
+    step is unchanged)."""
+    sgp, aux = f32_models(PER_SE, seed=5)
+    pm = ps.pack_models(sgp, aux, mod_q=2 * np.pi)
+    B, nm = ps.LANE_TILE, 11
+    rng = np.random.default_rng(5)
+    q0 = jnp.asarray(rng.uniform(0, 2 * np.pi, B), jnp.float32)
+    p0 = jnp.asarray(rng.uniform(-0.5, 0.5, B), jnp.float32)
+    Q1, P1 = ps.rollout_in_kernel(pm, q0, p0, nm, interpret=True)
+    Q2, P2 = ps.rollout_chunked(pm, q0, p0, nm, interpret=True, chunk=4)
+    assert Q2.shape == (nm, B)
+    np.testing.assert_array_equal(np.asarray(Q1), np.asarray(Q2))
+    np.testing.assert_array_equal(np.asarray(P1), np.asarray(P2))
