@@ -160,16 +160,20 @@ def main():
             np.concatenate([p0, np.full(pad, np.nan)]), dtype), accel)
 
         def ref_run():
+            # one launch: ~10 MB of VMEM trajectory blocks, well within v5e
             Q, P = psk.rollout_chunked(pm, Q0r, P0r, 10_000,
-                                       loss_check=True)
+                                       loss_check=True, chunk=10_000)
             return Q[:, :B0], P[:, :B0]
 
         Qr, Pr = ref_run()
         Qr.block_until_ready()  # compile + warm
-        t0 = time.time()
-        Qr, Pr = ref_run()
-        Qr.block_until_ready()
-        ref_steps_per_s = (10_000 - 1) * B0 / (time.time() - t0)
+        dt = np.inf
+        for _ in range(3):  # best-of-3: tunnel jitter dwarfs the 50 ms run
+            t0 = time.time()
+            Qr, Pr = ref_run()
+            Qr.block_until_ready()
+            dt = min(dt, time.time() - t0)
+        ref_steps_per_s = (10_000 - 1) * B0 / dt
         traj_small = Trajectory(Qr, Pr, None)
         jax.config.update("jax_enable_x64", True)
     else:
@@ -189,10 +193,13 @@ def main():
         P0 = jax.device_put(jnp.asarray(np.tile(p0, reps)[:B], dtype), accel)
         Q, P = psk.rollout_in_kernel(pm, Q0, P0, nm, loss_check=True)
         float(jnp.nansum(Q[-1]))  # compile + warm
-        t0 = time.time()
-        Q, P = psk.rollout_in_kernel(pm, Q0, P0, nm, loss_check=True)
-        float(jnp.nansum(Q[-1]))
-        return (nm - 1) * B / (time.time() - t0)
+        dt = np.inf
+        for _ in range(3):  # best-of-3 against tunnel jitter
+            t0 = time.time()
+            Q, P = psk.rollout_in_kernel(pm, Q0, P0, nm, loss_check=True)
+            float(jnp.nansum(Q[-1]))
+            dt = min(dt, time.time() - t0)
+        return (nm - 1) * B / dt
 
     if on_tpu:
         big_steps_per_s = rollout_pallas(32768, 1_000)
