@@ -53,6 +53,9 @@ def _register():
     WORKLOADS.update({
         "pendulum_implicit": (pendulum_implicit.run,
                               lambda a: PendulumConfig(nm=a.nm or 1000)),
+        "pendulum_pallas": (
+            lambda cfg: pendulum_implicit.run(cfg, backend="pallas"),
+            lambda a: PendulumConfig(nm=a.nm or 1000)),
         "pendulum_explicit": (
             pendulum_explicit.run,
             lambda a: PendulumConfig(Nm=70, sig2_n=1e-10, nm=a.nm or 1000)),
@@ -70,6 +73,9 @@ def _register():
             lambda a: StandardMapConfig(nm=a.nm or 100)),
         "henon_heiles": (henon_heiles.run,
                          lambda a: HenonConfig(nm=a.nm or 500)),
+        "henon_pallas": (
+            lambda cfg: henon_heiles.run(cfg, backend="pallas"),
+            lambda a: HenonConfig(nm=a.nm or 500)),
         "tokamak": (tokamak.run, lambda a: TokamakConfig(nm=a.nm or 1000)),
         "tokamak_pallas": (
             lambda cfg: tokamak.run(cfg, backend="pallas"),

@@ -472,6 +472,57 @@ def rollout_in_kernel(
     return Q, P
 
 
+def rollout_pallas(
+    sgp: SympGP, aux: AuxGP, q0: Array, p0: Array, nm: int, *,
+    mod_q: float | None = 2.0 * np.pi, iters: int = 5,
+    loss_check: bool = False, deployment_jitter: float | None = 1e-3,
+    interpret: bool | None = None, chunk: int = 4096,
+):
+    """Model-level fused rollout: any product-kernel (per_se / se_se)
+    SympGP + AuxGP pair, arbitrary batch size and rollout length.
+
+    Handles the full f32 deployment pipeline: host-side alpha
+    re-conditioning (``SympGP.for_deployment``, an f64 Cholesky), f32
+    cast, lane packing, NaN padding of the orbit batch to a multiple of
+    128, the x64-off kernel trace, VMEM chunking of the time axis, and
+    un-padding.  Returns (nm, B) trajectories (NaN rows for lost orbits).
+
+    ``interpret`` defaults to True on the CPU backend (tests) and False on
+    an accelerator.  ``deployment_jitter=None`` skips re-conditioning (use
+    when the model was already solved at a deployment-scale jitter).
+    """
+    from sympgpr_tpu.devices import host_fit, to_default_device
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def cast32(t):
+        return jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, t)
+
+    with host_fit():
+        if deployment_jitter is not None:
+            sgp = sgp.for_deployment(deployment_jitter)
+            aux = aux.for_deployment(deployment_jitter)
+        pm = pack_models(cast32(sgp), cast32(aux), mod_q=mod_q)
+    pm = to_default_device(pm)
+
+    q0 = np.asarray(q0, np.float32)
+    p0 = np.asarray(p0, np.float32)
+    B = q0.shape[0]
+    pad = (-B) % LANE_TILE
+    q0p = to_default_device(jnp.asarray(
+        np.concatenate([q0, np.full(pad, np.nan, np.float32)])))
+    p0p = to_default_device(jnp.asarray(
+        np.concatenate([p0, np.full(pad, np.nan, np.float32)])))
+    with jax.enable_x64(False):
+        Q, P = rollout_chunked(pm, q0p, p0p, nm, iters=iters,
+                               loss_check=loss_check, interpret=interpret,
+                               chunk=chunk)
+    return Q[:, :B], P[:, :B]
+
+
 def rollout_chunked(
     pm: PackedModels, q0: Array, p0: Array, nm: int, iters: int = 5,
     loss_check: bool = False, interpret: bool = False,

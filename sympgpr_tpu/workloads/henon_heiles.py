@@ -22,7 +22,10 @@ from sympgpr_tpu.systems import henon_heiles as hh
 
 
 def run(cfg: hh.HenonConfig = hh.HenonConfig(), nm: int | None = None,
-        with_reference: bool = True) -> dict[str, Any]:
+        with_reference: bool = True, backend: str = "generic",
+        ) -> dict[str, Any]:
+    """backend: 'generic' (f64-capable lax.scan path) or 'pallas' (fused
+    f32 whole-rollout kernel; SE x SE kernel, no angle wrap)."""
     nm = nm if nm is not None else cfg.nm
     from sympgpr_tpu.devices import host_fit, to_default_device
 
@@ -54,9 +57,17 @@ def run(cfg: hh.HenonConfig = hh.HenonConfig(), nm: int | None = None,
     z0t = hh.test_ics(cfg)
     q0 = z0t[:, 1] * cfg.scale
     p0 = z0t[:, 3] * cfg.scale
-    map_cfg = MapConfig(mod_q=None, newton_tol=1e-12, newton_maxiter=20)
     t0 = time.time()
-    traj = apply_map(sgp, aux, jnp.asarray(q0), jnp.asarray(p0), nm, map_cfg)
+    if backend == "pallas":
+        from sympgpr_tpu.maps.symplectic import Trajectory
+        from sympgpr_tpu.ops import pallas_step as psk
+
+        Q, P = psk.rollout_pallas(sgp, aux, q0, p0, nm, mod_q=None)
+        traj = Trajectory(Q, P, None)
+    else:
+        map_cfg = MapConfig(mod_q=None, newton_tol=1e-12, newton_maxiter=20)
+        traj = apply_map(sgp, aux, jnp.asarray(q0), jnp.asarray(p0), nm,
+                         map_cfg)
     traj.q.block_until_ready()
     t_apply = time.time() - t0
 

@@ -28,7 +28,10 @@ def run(
     *,
     with_reference: bool = True,
     with_comparator: bool = True,
+    backend: str = "generic",
 ) -> dict[str, Any]:
+    """backend: 'generic' (f64-capable lax.scan path) or 'pallas' (fused
+    f32 whole-rollout kernel)."""
     from sympgpr_tpu.devices import host_fit, to_default_device
 
     with host_fit():  # f64 data-gen + small-N fits belong on the host
@@ -58,10 +61,22 @@ def run(
     aux, sgp = to_default_device(aux), to_default_device(sgp)
 
     q0, p0 = sys_pend.test_initial_conditions(cfg)
-    map_cfg = MapConfig(newton_tol=1e-12, newton_maxiter=10)
     t0 = time.time()
-    traj = apply_map(sgp, aux, jnp.asarray(q0), jnp.asarray(p0), cfg.nm,
-                     map_cfg)
+    if backend == "pallas":
+        from sympgpr_tpu.maps.symplectic import Trajectory
+        from sympgpr_tpu.ops import pallas_step as psk
+
+        # jitter 1e-5: the pendulum target is very smooth, so less
+        # re-conditioning bias is needed than tokamak's 1e-3; measured
+        # Eosc minimum of the f32 path (8e-4 vs 4.7e-3 at 1e-3 and
+        # 9e-2 unconditioned; the f64 generic path reaches 6e-6)
+        Q, P = psk.rollout_pallas(sgp, aux, q0, p0, cfg.nm,
+                                  mod_q=2 * np.pi, deployment_jitter=1e-5)
+        traj = Trajectory(Q, P, None)
+    else:
+        map_cfg = MapConfig(newton_tol=1e-12, newton_maxiter=10)
+        traj = apply_map(sgp, aux, jnp.asarray(q0), jnp.asarray(p0),
+                         cfg.nm, map_cfg)
     traj.q.block_until_ready()
     t_apply = time.time() - t0
 

@@ -107,35 +107,14 @@ def run(
 
     t0 = time.time()
     if M == 1 and backend == "pallas":
-        import jax.tree_util as jtu
-
         from sympgpr_tpu.maps.symplectic import Trajectory
         from sympgpr_tpu.ops import pallas_step as psk
 
-        cast32 = lambda t: jtu.tree_map(
-            lambda a: jnp.asarray(a, jnp.float32)
-            if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
-        # f32 conditioning: re-solve alpha at deployment jitter (DESIGN.md).
-        # The re-solve is an f64 Cholesky — host work; only the packed f32
-        # arrays move to the accelerator.
-        with host_fit():
-            sgp_d = cast32(sgps[0].for_deployment(1e-3))
-            aux_d = cast32(auxes[0].for_deployment(1e-3))
-        pm = to_default_device(
-            psk.pack_models(sgp_d, aux_d, mod_q=2 * np.pi))
-        B = len(np.asarray(Q0))
-        pad = (-B) % psk.LANE_TILE
-        Q0p = jnp.concatenate([jnp.asarray(Q0, jnp.float32),
-                               jnp.full(pad, jnp.nan, jnp.float32)])
-        P0p = jnp.concatenate([jnp.asarray(P0, jnp.float32),
-                               jnp.full(pad, jnp.nan, jnp.float32)])
-        interp = jax.default_backend() == "cpu"
-        # Mosaic rejects the int64 loop indices x64 mode introduces, so run
-        # the kernel under a scoped x64-off trace (values are f32 already)
-        with jax.enable_x64(False):
-            Qt, Pt = psk.rollout_chunked(pm, Q0p, P0p, nm, loss_check=True,
-                                         interpret=interp)
-        traj = Trajectory(Qt[:, :B], Pt[:, :B], None)
+        # f32 conditioning + packing + padding + x64-off kernel trace all
+        # handled by the model-level entry (DESIGN.md section 4)
+        Qt, Pt = psk.rollout_pallas(sgps[0], auxes[0], Q0, P0, nm,
+                                    mod_q=2 * np.pi, loss_check=True)
+        traj = Trajectory(Qt, Pt, None)
     elif M == 1:
         map_cfg = MapConfig(newton_tol=1e-12, newton_maxiter=20)
         traj = apply_map(

@@ -89,3 +89,23 @@ def test_tokamak_pallas_backend():
     out = tokamak.run(TokamakConfig(N=40), nm=20, backend="pallas")
     assert np.nanmedian(out["gd"]) < 2e-2
     assert out["n_lost"] <= out["cfg"]["Ntest"] // 3
+
+
+def test_pendulum_pallas_backend():
+    """Fused-kernel backend (interpret mode on CPU): the f32 deployment-
+    conditioned rollout sits at its measured noise floor (~8e-4), below
+    the symplectic-Euler comparator's 1.1e-3; bitwise-critical pendulum
+    runs use the f64 generic path (Eosc 6e-6)."""
+    from sympgpr_tpu.workloads import pendulum_implicit
+
+    out = pendulum_implicit.run(PendulumConfig(nm=30), backend="pallas",
+                                with_reference=False, with_comparator=False)
+    assert out["training_error"] < 1e-10
+    assert float(np.nanmean(out["Eosc"])) < 2e-3
+
+
+def test_henon_pallas_backend():
+    """Fused SE x SE kernel without angle wrap (interpret mode on CPU)."""
+    out = henon_heiles.run(HenonConfig(Ntest=10), nm=20, backend="pallas")
+    assert out["training_error"] < 1e-12
+    assert out["one_step_mse"] < 2e-3  # scaled coords, f32 path
