@@ -148,34 +148,39 @@ def main():
         from sympgpr_tpu.maps.symplectic import Trajectory
         from sympgpr_tpu.ops import pallas_step as psk
 
+        # try/finally: an exception mid-run (e.g. tunnel timeout) must not
+        # leave x64 disabled for the rest of the process, which would
+        # silently degrade the f64 energy/metric computations below.
         jax.config.update("jax_enable_x64", False)
-        with jax.default_device(cpu):
-            pm = psk.pack_models(sgp_a, aux_a, mod_q=2 * np.pi)
-        pm = jtu.tree_map(lambda a: jax.device_put(a, accel), pm)
-        B0 = len(q0)
-        pad = (-B0) % psk.LANE_TILE
-        Q0r = jax.device_put(jnp.asarray(
-            np.concatenate([q0, np.full(pad, np.nan)]), dtype), accel)
-        P0r = jax.device_put(jnp.asarray(
-            np.concatenate([p0, np.full(pad, np.nan)]), dtype), accel)
+        try:
+            with jax.default_device(cpu):
+                pm = psk.pack_models(sgp_a, aux_a, mod_q=2 * np.pi)
+            pm = jtu.tree_map(lambda a: jax.device_put(a, accel), pm)
+            B0 = len(q0)
+            pad = (-B0) % psk.LANE_TILE
+            Q0r = jax.device_put(jnp.asarray(
+                np.concatenate([q0, np.full(pad, np.nan)]), dtype), accel)
+            P0r = jax.device_put(jnp.asarray(
+                np.concatenate([p0, np.full(pad, np.nan)]), dtype), accel)
 
-        def ref_run():
-            # one launch: ~10 MB of VMEM trajectory blocks, well within v5e
-            Q, P = psk.rollout_chunked(pm, Q0r, P0r, 10_000,
-                                       loss_check=True, chunk=10_000)
-            return Q[:, :B0], P[:, :B0]
+            def ref_run():
+                # one launch: ~10 MB of VMEM trajectory blocks, fits v5e
+                Q, P = psk.rollout_chunked(pm, Q0r, P0r, 10_000,
+                                           loss_check=True, chunk=10_000)
+                return Q[:, :B0], P[:, :B0]
 
-        Qr, Pr = ref_run()
-        Qr.block_until_ready()  # compile + warm
-        dt = np.inf
-        for _ in range(3):  # best-of-3: tunnel jitter dwarfs the 50 ms run
-            t0 = time.time()
             Qr, Pr = ref_run()
-            Qr.block_until_ready()
-            dt = min(dt, time.time() - t0)
-        ref_steps_per_s = (10_000 - 1) * B0 / dt
-        traj_small = Trajectory(Qr, Pr, None)
-        jax.config.update("jax_enable_x64", True)
+            Qr.block_until_ready()  # compile + warm
+            dt = np.inf
+            for _ in range(3):  # best-of-3: tunnel jitter dwarfs the run
+                t0 = time.time()
+                Qr, Pr = ref_run()
+                Qr.block_until_ready()
+                dt = min(dt, time.time() - t0)
+            ref_steps_per_s = (10_000 - 1) * B0 / dt
+            traj_small = Trajectory(Qr, Pr, None)
+        finally:
+            jax.config.update("jax_enable_x64", True)
     else:
         ref_steps_per_s, traj_small = rollout(len(q0), 10_000)
 
@@ -185,21 +190,28 @@ def main():
         from sympgpr_tpu.ops import pallas_step as psk
 
         # Mosaic rejects the int64 indices x64 mode introduces; the fits are
-        # done by now, so drop back to 32-bit for the kernel path.
+        # done by now, so drop back to 32-bit for the kernel path (restored
+        # on exit so downstream f64 metrics are unaffected).
         jax.config.update("jax_enable_x64", False)
-        pm = psk.pack_models(sgp_a, aux_a, mod_q=2 * np.pi)
-        reps = int(np.ceil(B / len(q0)))
-        Q0 = jax.device_put(jnp.asarray(np.tile(q0, reps)[:B], dtype), accel)
-        P0 = jax.device_put(jnp.asarray(np.tile(p0, reps)[:B], dtype), accel)
-        Q, P = psk.rollout_in_kernel(pm, Q0, P0, nm, loss_check=True)
-        float(jnp.nansum(Q[-1]))  # compile + warm
-        dt = np.inf
-        for _ in range(3):  # best-of-3 against tunnel jitter
-            t0 = time.time()
+        try:
+            pm = psk.pack_models(sgp_a, aux_a, mod_q=2 * np.pi)
+            reps = int(np.ceil(B / len(q0)))
+            Q0 = jax.device_put(
+                jnp.asarray(np.tile(q0, reps)[:B], dtype), accel)
+            P0 = jax.device_put(
+                jnp.asarray(np.tile(p0, reps)[:B], dtype), accel)
             Q, P = psk.rollout_in_kernel(pm, Q0, P0, nm, loss_check=True)
-            float(jnp.nansum(Q[-1]))
-            dt = min(dt, time.time() - t0)
-        return (nm - 1) * B / dt
+            float(jnp.nansum(Q[-1]))  # compile + warm
+            dt = np.inf
+            for _ in range(3):  # best-of-3 against tunnel jitter
+                t0 = time.time()
+                Q, P = psk.rollout_in_kernel(pm, Q0, P0, nm,
+                                             loss_check=True)
+                float(jnp.nansum(Q[-1]))
+                dt = min(dt, time.time() - t0)
+            return (nm - 1) * B / dt
+        finally:
+            jax.config.update("jax_enable_x64", True)
 
     if on_tpu:
         big_steps_per_s = rollout_pallas(32768, 1_000)

@@ -137,6 +137,7 @@ def sample_hmc_sharded(
     n_dev = mesh.devices.size
     assert x0s.shape[0] % n_dev == 0, "chains must divide device count"
     flat_mesh = Mesh(mesh.devices.reshape(-1), ("chains",))
+    seed = int(kwargs.pop("seed", 0))
 
     @partial(jax.shard_map, mesh=flat_mesh,
              in_specs=P("chains", None),
@@ -144,7 +145,11 @@ def sample_hmc_sharded(
                         P("chains")),
              check_vma=False)
     def run(x0_shard):
-        r = sample_hmc(logprob, x0_shard, n_samples, **kwargs)
+        # distinct PRNG stream per shard — a shared seed would couple the
+        # nominally independent chains via common random numbers.
+        shard_seed = seed * n_dev + jax.lax.axis_index("chains")
+        r = sample_hmc(logprob, x0_shard, n_samples, seed=shard_seed,
+                       **kwargs)
         return r.samples, r.log_probs, r.accept_rate
 
     return HMCResult(*run(x0s))

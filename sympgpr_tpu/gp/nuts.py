@@ -129,10 +129,15 @@ def _kernel_one_chain(logprob, max_depth):
                 dH = (lp - 0.5 * (r @ r)) - H0
                 dH = jnp.where(jnp.isfinite(dH), dH, -jnp.inf)
                 diverging = dH < -_DIVERGENCE
-                # progressive multinomial sampling within the subtree
+                # progressive multinomial sampling within the subtree.
+                # fold in a *globally unique* leaf id: the depth-d subtree
+                # numbers its leaves n = 1..L (L = 2^d), so L + n covers
+                # the disjoint range [2^d + 1, 2^(d+1)] — leaves of
+                # different doublings never share a uniform (negative ids
+                # remain reserved for the across-doubling accept draws).
                 new_logW = jnp.logaddexp(t["logW"], dH)
                 u = jax.random.uniform(
-                    jax.random.fold_in(ktree, n), dtype=x0.dtype)
+                    jax.random.fold_in(ktree, L + n), dtype=x0.dtype)
                 take = jnp.log(u) < dH - new_logW
                 x_sub = jnp.where(take, x, t["x_sub"])
                 lp_sub = jnp.where(take, lp, t["lp_sub"])
@@ -282,6 +287,7 @@ def sample_nuts_sharded(
     n_dev = mesh.devices.size
     assert x0s.shape[0] % n_dev == 0, "chains must divide device count"
     flat_mesh = Mesh(mesh.devices.reshape(-1), ("chains",))
+    seed = int(kwargs.pop("seed", 0))
 
     @partial(jax.shard_map, mesh=flat_mesh,
              in_specs=P("chains", None),
@@ -289,6 +295,11 @@ def sample_nuts_sharded(
                         P("chains"), P("chains"), P("chains")),
              check_vma=False)
     def run(x0_shard):
-        return tuple(sample_nuts(logprob, x0_shard, n_samples, **kwargs))
+        # each shard must draw from a distinct PRNG stream: a shared seed
+        # would give chain i on every device identical momenta/directions
+        # (common random numbers -> coupled, coalescing chains).
+        shard_seed = seed * n_dev + jax.lax.axis_index("chains")
+        return tuple(sample_nuts(logprob, x0_shard, n_samples,
+                                 seed=shard_seed, **kwargs))
 
     return NUTSResult(*run(x0s))

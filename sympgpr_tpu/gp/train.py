@@ -360,8 +360,12 @@ def fit_sympgp_separable(
 
     res_q = minimize_lbfgs(make(0, zp), x0_q, bounds=bounds)
     res_p = minimize_lbfgs(make(1, zq), x0_p, bounds=bounds)
-    lq = float(np.abs(_apply_transform(jnp.asarray(res_q.theta), transform)))
-    lp = float(np.abs(_apply_transform(jnp.asarray(res_p.theta), transform)))
+    # .reshape(()) first: float() of a 1-element ndim>0 array is a numpy
+    # deprecation slated to become an error
+    lq = float(np.abs(np.asarray(
+        _apply_transform(jnp.asarray(res_q.theta), transform))).reshape(()))
+    lp = float(np.abs(np.asarray(
+        _apply_transform(jnp.asarray(res_p.theta), transform))).reshape(()))
     model = SympGP.create(kernel, np.array([lq, lp]), fixed_sig, sig2n, X, z)
     return model, (res_q, res_p)
 

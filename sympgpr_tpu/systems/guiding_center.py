@@ -207,7 +207,10 @@ def newton_scalar(fdf, x0, rtol: float = 1e-12, atol: float = 1e-12,
         return xnew, x, f, it + 1
 
     big = jnp.full_like(x0, 1e30 * max(atol, 1e-300))
-    x, _, _, _ = jax.lax.while_loop(
-        cond, body, (x0, x0 * (1.0 + 1e30 * rtol), big, 0)
-    )
+    # seed the previous iterate *additively*: the multiplicative form
+    # x0 * (1 + 1e30 rtol) equals x0 when x0 == 0, silently freezing that
+    # lane (rel = 0 > rtol is False on every iteration) while other lanes
+    # of the batched solve proceed.
+    xold0 = x0 + (1.0 + jnp.abs(x0)) * 1e30 * rtol
+    x, _, _, _ = jax.lax.while_loop(cond, body, (x0, xold0, big, 0))
     return x

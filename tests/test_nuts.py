@@ -114,3 +114,21 @@ def test_nuts_sharded_runs():
                                    step_size=0.3, max_depth=6)
     assert res.samples.shape == (8, 100, 2)
     assert np.isfinite(np.asarray(res.samples)).all()
+
+
+def test_nuts_sharded_shards_draw_distinct_streams():
+    # regression: with a shared per-shard seed, chain i on device 0 and
+    # chain i on device 1 drew identical momenta/directions and produced
+    # identical (or tightly coupled) sample paths from equal starts.
+    mesh = make_mesh(jax.devices()[:8])
+
+    def logprob(x):
+        return -0.5 * jnp.sum(x**2)
+
+    x0s = jnp.zeros((8, 2))  # identical starts: only the RNG can differ
+    res = nuts.sample_nuts_sharded(logprob, x0s, mesh, 50, n_warmup=10,
+                                   step_size=0.3, max_depth=5,
+                                   adapt_step_size=False)
+    s = np.asarray(res.samples)  # (8 chains = 1/device, 50, 2)
+    for i in range(1, 8):
+        assert not np.allclose(s[0], s[i]), f"chains 0 and {i} identical"
