@@ -62,8 +62,19 @@ def nll(
     """NLL of the symplectic (derivative-observation) GP.
 
     X: (N, 2) mixed training points (q, P); z: (2N,) targets (p-P | Q-q).
+
+    Above ``pallas_cov.nll_threshold()`` training points (f32 on an
+    accelerator backend) the covariance is assembled by the Pallas tiled
+    builder — shared transcendental factors per tile, no HBM temporaries;
+    gradients flow through its custom VJP.  The dispatch is static (shapes
+    and dtypes are trace-time constants).
     """
-    K = build_K_fast(kernel, X, X, params, sig)
+    from sympgpr_tpu.ops import pallas_cov
+
+    if pallas_cov.want_pallas_build(kernel, X):
+        K = pallas_cov.build_K_pallas(kernel, X, X, params, sig)
+    else:
+        K = build_K_fast(kernel, X, X, params, sig)
     Ky = K + jnp.abs(sig2n) * jnp.eye(K.shape[0], dtype=K.dtype)
     return _nll_from_Ky(Ky, z)
 

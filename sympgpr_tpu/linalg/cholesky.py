@@ -37,12 +37,31 @@ def _chol_small(A: Array) -> Array:
     return jnp.linalg.cholesky(A)
 
 
+def pad_spd(K: Array, multiple: int) -> Array:
+    """Pad an SPD matrix to the next multiple with an identity tail.
+
+    ``chol(diag(K, I)) = diag(chol(K), I)``, so factoring the padded
+    matrix and slicing back ``[:n, :n]`` is exact; padded solve inputs
+    are zero-extended and padded logdet contributions vanish.
+    """
+    n = K.shape[0]
+    n_pad = -(-n // multiple) * multiple
+    if n_pad == n:
+        return K
+    Kp = jnp.pad(K, ((0, n_pad - n), (0, n_pad - n)))
+    tail = jnp.arange(n, n_pad)
+    return Kp.at[tail, tail].set(jnp.asarray(1.0, K.dtype))
+
+
 @partial(jax.jit, static_argnames=("block",))
 def blocked_cholesky(K: Array, block: int = 256) -> Array:
-    """Lower Cholesky factor of SPD K via right-looking blocked updates."""
+    """Lower Cholesky factor of SPD K via right-looking blocked updates.
+
+    Non-divisible sizes are identity-padded (``pad_spd``) and sliced back.
+    """
+    n_in = K.shape[0]
+    K = pad_spd(K, block)
     n = K.shape[0]
-    if n % block != 0:
-        raise ValueError(f"matrix size {n} must be divisible by {block}")
     nb = n // block
     A = K
 
@@ -66,7 +85,7 @@ def blocked_cholesky(K: Array, block: int = 256) -> Array:
             At = At - Lpanel @ Lpanel.T  # MXU
             A = jax.lax.dynamic_update_slice(
                 A, At, ((k + 1) * block, (k + 1) * block))
-    return jnp.tril(A)
+    return jnp.tril(A)[:n_in, :n_in]
 
 
 def distributed_cholesky(
@@ -78,17 +97,23 @@ def distributed_cholesky(
     factorization itself runs with each device owning n/(D*block) block
     rows; only O(nb) small collectives (psum of the diagonal block,
     all_gather of the panel column) cross the interconnect per step.
+    The step loop is a ``lax.fori_loop`` (shared with
+    ``distributed.large``), so compile time is O(1) in the block count;
+    non-divisible sizes are identity-padded via ``pad_spd``.
+
+    This is the replicated-input convenience wrapper — the training path
+    that never materializes K at all is ``distributed.large``
+    (``sharded_nll_large`` / ``sharded_alpha_large``).
     """
-    n = K.shape[0]
+    from sympgpr_tpu.distributed.large import _factorize_cyclic
+
+    n_in = K.shape[0]
     D = mesh.shape[axis]
     if block is None:
-        block = max(8, n // (4 * D))
+        block = max(8, n_in // (4 * D))
+    K = pad_spd(K, block * D)
+    n = K.shape[0]
     nb = n // block
-    if n % block or nb % D:
-        raise ValueError(
-            f"need n % block == 0 and (n/block) % D == 0; "
-            f"n={n} block={block} D={D}"
-        )
     nb_loc = nb // D
 
     # scatter rows cyclically: local[li] = K[block rows (li*D + d)]
@@ -105,53 +130,9 @@ def distributed_cholesky(
         check_vma=False,
     )
     def factorize(local):  # local: (1, nb_loc, block, n) on each device
-        local = local[0]
         d = jax.lax.axis_index(axis)
-        gidx = jnp.arange(nb_loc) * D + d  # global block-row ids
-
-        for k in range(nb):
-            owner = k % D
-            lk = k // D
-            # -- broadcast current diagonal block (masked psum) --
-            mine = jnp.where(d == owner, 1.0, 0.0)
-            Akk = jax.lax.psum(
-                mine * jax.lax.dynamic_slice(
-                    local, (lk, 0, k * block), (1, block, block))[0],
-                axis,
-            )
-            Lkk = _chol_small(Akk)
-            # -- local panel solves (rows i >= k; row k gets Lkk) --
-            cols = jax.lax.dynamic_slice(
-                local, (0, 0, k * block), (nb_loc, block, block))
-            solved = jax.vmap(
-                lambda Aik: jax.scipy.linalg.solve_triangular(
-                    Lkk, Aik.T, lower=True).T
-            )(cols)
-            is_diag = (gidx == k)[:, None, None]
-            below = (gidx > k)[:, None, None]
-            newcols = jnp.where(
-                is_diag, Lkk[None], jnp.where(below, solved, cols)
-            )
-            local = jax.lax.dynamic_update_slice(
-                local, newcols, (0, 0, k * block))
-            # -- gather the full panel column for the trailing update --
-            panel_cyc = jax.lax.all_gather(
-                jnp.where((gidx >= k)[:, None, None], newcols, 0.0),
-                axis, axis=0,
-            )  # (D, nb_loc, block, block) cyclic layout
-            panel = panel_cyc.transpose(1, 0, 2, 3).reshape(nb, block, block)
-            # trailing update of local rows i > k, columns k+1..n:
-            # A_i,: -= L_ik @ Lpanel_row^T  restricted to cols j in (k, i]
-            Lik = newcols  # (nb_loc, block, block), masked below
-            Lik = jnp.where(below, Lik, 0.0)
-            # build (n,) column mask for cols > k (applied via panel zeroing)
-            panel_flat = panel.reshape(nb * block, block)
-            col_ids = jnp.repeat(jnp.arange(nb), block)
-            panel_flat = jnp.where(
-                (col_ids > k)[:, None], panel_flat, 0.0)
-            update = jnp.einsum("lbc,nc->lbn", Lik, panel_flat)
-            local = local - update
-        return local[None]
+        return _factorize_cyclic(local[0], d, axis, D, nb, nb_loc,
+                                 block)[None]
 
     Lc = factorize(Kc)  # (D, nb_loc, block, n)
 
@@ -160,4 +141,4 @@ def distributed_cholesky(
             Lc.transpose(1, 0, 2, 3).reshape(nb, block, n).reshape(n, n)
         )
 
-    return jnp.tril(from_cyclic(Lc))
+    return jnp.tril(from_cyclic(Lc))[:n_in, :n_in]

@@ -1,0 +1,187 @@
+"""Large-N end-to-end benchmark: covariance build + Cholesky + NLL/train
+at training-set sizes far beyond the reference's N <= 80.
+
+The reference factorizes (2N, 2N) matrices on one CPU through LAPACK
+(``python/01_pendulum/implicit/func.py:99-114``); this workload measures
+the TPU-native pipeline at N in the thousands — the BASELINE.json
+north-star "covariance build + Cholesky GFLOP/s/chip" numbers:
+
+* covariance build: Pallas tiled builder (``ops/pallas_cov.py``),
+  reported as entries/s over the (2N)^2 matrix;
+* factorization: f32 ``jnp.linalg.cholesky`` on the MXU, reported as
+  GFLOP/s against the n^3/3 flop count;
+* NLL evaluation (build -> Cholesky -> logdet + quad) and one Adam
+  training step (value_and_grad through the builder's custom VJP and
+  the Cholesky VJP), reported as wall time.
+
+Timing methodology: the tunneled TPU backend's ``block_until_ready`` is
+unreliable as a sync point (measured sub-10us "completions"), so every
+timed quantity is an in-jit ``lax.scan`` of ``reps`` iterations whose
+hyperparameters are data-chained (``p * (1 + 1e-30 * c)``) — the chain
+serializes iterations and defeats loop-invariant hoisting without
+perturbing values — followed by a scalar device->host fetch, which is a
+true synchronization on every backend.
+
+Run: ``python -m sympgpr_tpu bench --large-n [--n 4096]`` or via
+``bench.py`` (TPU only), which merges the JSON into the driver-captured
+benchmark artifact.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sympgpr_tpu.kernels import PER_SE
+from sympgpr_tpu.systems.halton import halton
+
+Array = jax.Array
+
+
+def synthetic_training_set(N: int, dtype=jnp.float32, eps: float = 0.12):
+    """Derivative-GP training pairs from an analytic generating function.
+
+    F(q, P) = P^2/2 + eps cos(q) gives the standard-map-like targets
+    z = (dF/dq, dF/dP) = (-eps sin q, P); the fit is a real regression
+    problem (recoverable structure), not throughput filler.
+    """
+    H = halton(N, 2)
+    q = 2.0 * np.pi * H[:, 0]
+    P = 2.0 * (H[:, 1] - 0.5)
+    X = jnp.asarray(np.stack([q, P], 1), dtype)
+    z = jnp.asarray(np.concatenate([-eps * np.sin(q), P]), dtype)
+    return X, z
+
+
+def _timed_scan(fn, args, reps: int) -> float:
+    """Best-of-3 wall time per iteration of an in-jit chained scan."""
+
+    @jax.jit
+    def run(*args):
+        def body(c, _):
+            return fn(c, *args), None
+
+        c, _ = jax.lax.scan(body, jnp.zeros((), args[-1].dtype), None,
+                            length=reps)
+        return c
+
+    float(run(*args))  # compile + warm
+    dt = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        float(run(*args))  # scalar fetch = true device sync
+        dt = min(dt, time.time() - t0)
+    return dt / reps
+
+
+def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
+            sig2n: float = 1e-2, train_steps: int = 10) -> dict:
+    """Throughput numbers for the large-N pipeline on the default device."""
+    from sympgpr_tpu.ops import pallas_cov
+
+    X, z = synthetic_training_set(N, dtype)
+    # short lengthscales keep K well-conditioned enough for f32 Cholesky
+    # at this scale (with the deployment-scale jitter)
+    p0 = jnp.asarray([0.35, 0.35], dtype)
+    sig = jnp.asarray(2.0, dtype)
+    s2n = jnp.asarray(sig2n, dtype)
+    n = 2 * N
+    on_cpu = jax.default_backend() == "cpu"
+
+    def build(p):
+        if on_cpu:  # interpret-mode Pallas is not a benchmark; XLA build
+            from sympgpr_tpu.gp.covariance import build_K_fast
+
+            return build_K_fast(PER_SE, X, X, p, sig)
+        return pallas_cov.build_K_pallas(PER_SE, X, X, p, sig)
+
+    def chain(p, c):
+        # serialize scan iterations without changing values (f32 has no
+        # bits for 1e-30 relative perturbations)
+        return p * (1.0 + 1e-30 * c)
+
+    # --- covariance build alone (forced materialization via checksum) ---
+    def build_once(c, p):
+        K = build(chain(p, c))
+        return jnp.sum(K[:, :: max(1, n // 64)])
+
+    t_build = _timed_scan(build_once, (p0,), reps)
+
+    # --- Cholesky alone on a prebuilt Ky ---
+    Ky0 = build(p0) + s2n * jnp.eye(n, dtype=dtype)
+
+    def chol_once(c, Ky):
+        L = jnp.linalg.cholesky(Ky * (1.0 + 1e-30 * c))
+        return jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    t_chol = _timed_scan(chol_once, (Ky0,), reps)
+
+    # --- full NLL evaluation: build -> Cholesky -> logdet + quad ---
+    def nll_of(p):
+        K = build(p)
+        Ky = K + s2n * jnp.eye(n, dtype=dtype)
+        L = jnp.linalg.cholesky(Ky)
+        alpha = jax.scipy.linalg.cho_solve((L, True), z)
+        return 0.5 * z @ alpha + jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    t_nll = _timed_scan(lambda c, p: nll_of(chain(p, c)), (p0,), reps)
+
+    # --- one training step: value_and_grad through builder VJP + chol VJP
+    vg = jax.value_and_grad(lambda th: nll_of(10.0 ** th))
+
+    def step_once(c, th):
+        v, g = vg(th + 1e-30 * c)
+        return v + jnp.sum(g) * 1e-30
+
+    theta0 = jnp.log10(p0)
+    t_step = _timed_scan(step_once, (theta0,), max(2, reps // 2))
+
+    # --- short Adam run: the end-to-end "it actually trains" check ---
+    import optax
+
+    opt = optax.adam(3e-2)
+
+    @jax.jit
+    def train(theta):
+        state = opt.init(theta)
+
+        def body(carry, _):
+            th, st = carry
+            v, g = vg(th)
+            upd, st = opt.update(g, st, th)
+            return (optax.apply_updates(th, upd), st), v
+
+        (theta, _), vals = jax.lax.scan(body, (theta, state), None,
+                                        length=train_steps)
+        return theta, vals
+
+    t0 = time.time()
+    theta, vals = train(theta0)
+    nll_first, nll_last = float(vals[0]), float(vals[-1])
+    t_train = time.time() - t0
+
+    entries = float(n) * n
+    chol_flops = n**3 / 3.0
+    return {
+        "N": N,
+        "n": n,
+        "dtype": np.dtype(dtype).name if not isinstance(dtype, type)
+        else jnp.dtype(dtype).name,
+        "device": str(jax.devices()[0]),
+        "build_s": round(t_build, 6),
+        "build_entries_per_s": round(entries / t_build, 1),
+        "cholesky_s": round(t_chol, 6),
+        "cholesky_gflops": round(chol_flops / t_chol / 1e9, 2),
+        "build_plus_chol_gflops": round(
+            chol_flops / (t_build + t_chol) / 1e9, 2),
+        "nll_eval_s": round(t_nll, 6),
+        "train_step_s": round(t_step, 6),
+        "adam_10step_s": round(t_train, 3),
+        "nll_first": nll_first,
+        "nll_last": nll_last,
+        "nll_decreased": bool(nll_last < nll_first),
+    }

@@ -1,0 +1,126 @@
+"""Large-N distributed training path: block-cyclic build + Cholesky +
+triangular solves, never materializing a replicated K.
+
+Runs on the 8-device CPU mesh (conftest forces
+xla_force_host_platform_device_count=8) in float64.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from sympgpr_tpu.distributed import large
+from sympgpr_tpu.gp import likelihood
+from sympgpr_tpu.gp.covariance import build_K_fast
+from sympgpr_tpu.kernels import PER_SE, SUM_PER_SE
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.asarray(jax.devices()[:8]), ("kp",))
+
+
+def _data(N, seed=0):
+    rng = np.random.default_rng(seed)
+    X = jnp.asarray(np.stack([rng.uniform(0, 2 * np.pi, N),
+                              rng.uniform(-1.0, 1.0, N)], 1))
+    z = jnp.asarray(rng.normal(size=2 * N) * 0.1)
+    return X, z
+
+
+P2 = jnp.asarray([0.9, 1.3])
+SIG = jnp.asarray(2.0)
+S2N = jnp.asarray(1e-6)
+
+
+def test_interleave_roundtrip():
+    z = jnp.arange(10.0)
+    np.testing.assert_array_equal(
+        np.asarray(large.deinterleave_z(large.interleave_z(z))),
+        np.asarray(z))
+
+
+@pytest.mark.parametrize("N", [64, 100])  # 100: padding path (2N=200->256)
+def test_nll_matches_dense(mesh, N):
+    X, z = _data(N)
+    v_large = large.sharded_nll_large(PER_SE, mesh, P2, SIG, S2N, X, z,
+                                      block=16)
+    v_dense = likelihood.nll(PER_SE, P2, SIG, S2N, X, z)
+    np.testing.assert_allclose(float(v_large), float(v_dense), rtol=1e-9)
+
+
+def test_nll_matches_dense_sum_kernel(mesh):
+    X, z = _data(48, seed=1)
+    v_large = large.sharded_nll_large(SUM_PER_SE, mesh, P2, SIG, S2N, X, z,
+                                      block=8)
+    v_dense = likelihood.nll(SUM_PER_SE, P2, SIG, S2N, X, z)
+    np.testing.assert_allclose(float(v_large), float(v_dense), rtol=1e-9)
+
+
+def test_alpha_matches_dense(mesh):
+    X, z = _data(72, seed=2)
+    a_large = large.sharded_alpha_large(PER_SE, mesh, P2, SIG, S2N, X, z,
+                                        block=16)
+    K = build_K_fast(PER_SE, X, X, P2, SIG)
+    Ky = K + jnp.abs(S2N) * jnp.eye(144)
+    a_dense = jnp.linalg.solve(Ky, z)
+    # Ky is ill-conditioned (cond ~ 4e7 at this jitter): solutions of two
+    # exact-to-roundoff solvers differ elementwise at cond * eps relative
+    # to max|alpha|.  The distributed solve's residual is actually smaller
+    # than dense LU's (3e-10 vs 1e-9 measured), so gate on a scaled atol
+    # plus the residual itself.
+    scale = float(jnp.max(jnp.abs(a_dense)))
+    np.testing.assert_allclose(np.asarray(a_large), np.asarray(a_dense),
+                               atol=1e-8 * scale)
+    resid = float(jnp.max(jnp.abs(Ky @ a_large - z)))
+    assert resid < 1e-8
+
+
+def test_per_device_memory_is_one_over_D(mesh):
+    """The structural point of the module: each device's K shard is
+    exactly n_pad^2 / D entries — the replicated-K all_gather of
+    distributed/sharded.py is gone from this path."""
+    N = 128
+    X, _ = _data(N, seed=3)
+    slab = large.build_K_cyclic(PER_SE, mesh, P2, SIG, S2N, X, block=16)
+    D = 8
+    n_pad = 2 * N  # 256 divides block*D = 128
+    assert slab.shape == (D, n_pad // (16 * D), 16, n_pad)
+    total = n_pad * n_pad
+    shards = slab.addressable_shards
+    assert len(shards) == D
+    for s in shards:
+        assert int(np.prod(s.data.shape)) == total // D
+
+
+def test_value_and_grad_matches_dense(mesh):
+    X, z = _data(40, seed=4)
+    theta = jnp.asarray([0.1, -0.2, 0.3])
+
+    v, g = large.sharded_nll_large_value_and_grad(
+        PER_SE, mesh, theta, S2N, X, z, block=8)
+
+    def dense(t):
+        hyp = 10.0 ** t
+        return likelihood.nll(PER_SE, hyp[:-1], hyp[-1], S2N, X, z)
+
+    v_d, g_d = jax.value_and_grad(dense)(theta)
+    np.testing.assert_allclose(float(v), float(v_d), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_d), rtol=1e-7)
+
+
+def test_distributed_cholesky_padding(mesh):
+    """Non-divisible sizes now pad instead of raising (weak #4/#5)."""
+    from sympgpr_tpu.linalg.cholesky import distributed_cholesky
+
+    rng = np.random.default_rng(5)
+    n = 200  # not divisible by block*D = 16*2 (kp axis of make_mesh is 2)
+    A = rng.normal(size=(n, n))
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+    mesh1 = Mesh(np.asarray(jax.devices()[:8]), ("kp",))
+    L = distributed_cholesky(K, mesh1, axis="kp", block=16)
+    np.testing.assert_allclose(np.asarray(L),
+                               np.asarray(jnp.linalg.cholesky(K)),
+                               rtol=1e-9, atol=1e-9)
