@@ -186,7 +186,7 @@ def main():
 
     # throughput run (orbit-batched): fused Pallas rollout kernel on TPU,
     # the generic scan path elsewhere
-    def rollout_pallas(B, nm):
+    def rollout_pallas(B, nm, mxu_reduce=False):
         from sympgpr_tpu.ops import pallas_step as psk
 
         # Mosaic rejects the int64 indices x64 mode introduces; the fits are
@@ -200,25 +200,84 @@ def main():
                 jnp.asarray(np.tile(q0, reps)[:B], dtype), accel)
             P0 = jax.device_put(
                 jnp.asarray(np.tile(p0, reps)[:B], dtype), accel)
-            Q, P = psk.rollout_in_kernel(pm, Q0, P0, nm, loss_check=True)
+            Q, P = psk.rollout_in_kernel(pm, Q0, P0, nm, loss_check=True,
+                                         mxu_reduce=mxu_reduce)
             float(jnp.nansum(Q[-1]))  # compile + warm
             dt = np.inf
             for _ in range(3):  # best-of-3 against tunnel jitter
                 t0 = time.time()
                 Q, P = psk.rollout_in_kernel(pm, Q0, P0, nm,
-                                             loss_check=True)
+                                             loss_check=True,
+                                             mxu_reduce=mxu_reduce)
                 float(jnp.nansum(Q[-1]))
                 dt = min(dt, time.time() - t0)
             return (nm - 1) * B / dt
         finally:
             jax.config.update("jax_enable_x64", True)
 
+    mxu_steps_per_s = None
     if on_tpu:
         big_steps_per_s = rollout_pallas(32768, 1_000)
+        # MXU-reduction experiment (VERDICT r1 weak #1): same rollout with
+        # the train reductions as (1,N)x(N,128) dots
+        try:
+            mxu_steps_per_s = rollout_pallas(32768, 1_000, mxu_reduce=True)
+        except Exception as e:
+            mxu_steps_per_s = f"{type(e).__name__}: {e}"
     else:
         big_steps_per_s, _ = rollout(4096, 1_000)
 
     n_lost = int(np.sum(np.isnan(np.asarray(traj_small.p[-1]))))
+
+    # ---- large-N training pipeline: covariance build + Cholesky + NLL ----
+    # the BASELINE.json north-star "covariance build + Cholesky GFLOP/s per
+    # chip" numbers at N far beyond the reference's N <= 80; Pallas tiled
+    # builder + MXU Cholesky (workloads/large_n.py; reproduce standalone
+    # with `python -m sympgpr_tpu bench --large-n`)
+    large = None
+    if on_tpu:
+        try:
+            from sympgpr_tpu.workloads import large_n
+
+            with jax.enable_x64(False):
+                m = large_n.measure(
+                    N=int(os.environ.get("SYMPGPR_BENCH_LARGE_N", 4096)))
+            large = {k: m[k] for k in (
+                "N", "build_entries_per_s", "build_s", "cholesky_gflops",
+                "cholesky_s", "build_plus_chol_gflops", "nll_eval_s",
+                "train_step_s", "nll_decreased")}
+        except Exception as e:  # never lose the headline metric
+            large = {"error": f"{type(e).__name__}: {e}"}
+
+    # ---- NUTS samples/s over the tokamak GP hyperposterior (1 chip) ----
+    # north-star "samples/s efficiency": 8 vmapped chains over (l, sigma);
+    # the multi-host story (chains sharded over a mesh) is exercised by
+    # tests/test_nuts.py and dryrun_multichip.
+    nuts_sps = None
+    if on_tpu:
+        try:
+            from sympgpr_tpu.gp import hmc as hmc_mod
+            from sympgpr_tpu.gp import nuts as nuts_mod
+            from sympgpr_tpu.gp.likelihood import nll as nll_fn
+
+            with jax.enable_x64(False):
+                Xs = jax.device_put(jnp.asarray(sgp.X, jnp.float32), accel)
+                zs = jax.device_put(jnp.asarray(sgp.z, jnp.float32), accel)
+                lp = hmc_mod.nll_logprob(sgp.kernel, Xs, zs, 1e-8, nll_fn)
+                x0s = jax.device_put(
+                    jnp.asarray(np.zeros((8, 3)) + 0.02 * np.arange(8)[:, None],
+                                jnp.float32), accel)
+                chains, n_s = 8, 128
+                r = nuts_mod.sample_nuts(lp, x0s, n_s, n_warmup=64,
+                                         step_size=0.05, max_depth=6, seed=0)
+                r.samples.block_until_ready()  # compile + warm
+                t0 = time.time()
+                r = nuts_mod.sample_nuts(lp, x0s, n_s, n_warmup=64,
+                                         step_size=0.05, max_depth=6, seed=1)
+                float(jnp.sum(r.samples))
+                nuts_sps = round(chains * n_s / (time.time() - t0), 1)
+        except Exception as e:
+            nuts_sps = f"{type(e).__name__}: {e}"
 
     # quality of the accelerated rollout: energy oscillation computed
     # on-device (fetching the trajectory through the tunnel is the slow
@@ -248,6 +307,12 @@ def main():
                     "ref_size_speedup": round(
                         ref_steps_per_s / base_steps_per_s, 2),
                     "lost_orbits_10k": n_lost,
+                    "rollout_mxu_reduce_steps_per_s": (
+                        round(mxu_steps_per_s, 1)
+                        if isinstance(mxu_steps_per_s, float)
+                        else mxu_steps_per_s),
+                    "large_n": large,
+                    "nuts_samples_per_s": nuts_sps,
                     "total_bench_s": round(time.time() - t_start, 1),
                 }
             }

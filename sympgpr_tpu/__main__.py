@@ -5,9 +5,11 @@ script with module-level constants (SURVEY.md section 5.6).  Here every
 workload is a named command with its reference configuration as defaults:
 
   python -m sympgpr_tpu list
-  python -m sympgpr_tpu run tokamak --nm 1000 --save-model model.npz
-  python -m sympgpr_tpu run pendulum_implicit --plots out/
+  python -m sympgpr_tpu run tokamak --nm 1000 --optimizer cmaes
+  python -m sympgpr_tpu run pendulum_implicit --backend pallas --plots out/
+  python -m sympgpr_tpu sample pendulum_implicit --sampler nuts --chains 8
   python -m sympgpr_tpu sobol --n 64
+  python -m sympgpr_tpu bench --large-n --n 4096
 """
 
 from __future__ import annotations
@@ -35,6 +37,12 @@ WORKLOADS = {}
 
 
 def _register():
+    """Each entry: name -> callable(args) running the workload.
+
+    ``--optimizer``/``--backend`` flow through to workloads that accept
+    them (reference defaults otherwise: the Split tokamak driver uses
+    CMA-ES, ``python/05_tokamak/Split_SympGPR/main.py:25-45``).
+    """
     from sympgpr_tpu.systems.henon_heiles import HenonConfig
     from sympgpr_tpu.systems.pendulum import PendulumConfig
     from sympgpr_tpu.systems.pert_pendulum import PertPendulumConfig
@@ -50,41 +58,45 @@ def _register():
         tokamak,
     )
 
+    def _backend(a, default="generic"):
+        return a.backend or default
+
     WORKLOADS.update({
-        "pendulum_implicit": (pendulum_implicit.run,
-                              lambda a: PendulumConfig(nm=a.nm or 1000)),
-        "pendulum_pallas": (
-            lambda cfg: pendulum_implicit.run(cfg, backend="pallas"),
-            lambda a: PendulumConfig(nm=a.nm or 1000)),
-        "pendulum_explicit": (
-            pendulum_explicit.run,
-            lambda a: PendulumConfig(Nm=70, sig2_n=1e-10, nm=a.nm or 1000)),
-        "pendulum_period_unknown": (
-            pendulum_period_unknown.run,
-            lambda a: PendulumConfig(N=50, Nm=100, sig2_n=1e-10,
-                                     nm=a.nm or 1000)),
-        "pert_pendulum": (pert_pendulum.run,
-                          lambda a: PertPendulumConfig(nm=a.nm or 100)),
-        "standard_map": (
-            lambda cfg: standard_map.run(cfg, method="implicit"),
-            lambda a: StandardMapConfig(nm=a.nm or 100)),
-        "standard_map_explicit": (
-            lambda cfg: standard_map.run(cfg, method="explicit"),
-            lambda a: StandardMapConfig(nm=a.nm or 100)),
-        "henon_heiles": (henon_heiles.run,
-                         lambda a: HenonConfig(nm=a.nm or 500)),
-        "henon_pallas": (
-            lambda cfg: henon_heiles.run(cfg, backend="pallas"),
-            lambda a: HenonConfig(nm=a.nm or 500)),
-        "tokamak": (tokamak.run, lambda a: TokamakConfig(nm=a.nm or 1000)),
-        "tokamak_pallas": (
-            lambda cfg: tokamak.run(cfg, backend="pallas"),
-            lambda a: TokamakConfig(nm=a.nm or 1000)),
-        "tokamak_split": (
-            lambda cfg: tokamak.run(cfg, optimizer="lbfgs"),
-            lambda a: TokamakConfig(N=70, nphmap=4, nph=100, r_scale=0.38,
-                                    qminmap=0.16, qmaxmap=0.31,
-                                    nm=a.nm or 4000)),
+        "pendulum_implicit": lambda a: pendulum_implicit.run(
+            PendulumConfig(nm=a.nm or 1000), backend=_backend(a)),
+        "pendulum_pallas": lambda a: pendulum_implicit.run(
+            PendulumConfig(nm=a.nm or 1000), backend=_backend(a, "pallas")),
+        "pendulum_explicit": lambda a: pendulum_explicit.run(
+            PendulumConfig(Nm=70, sig2_n=1e-10, nm=a.nm or 1000),
+            backend=_backend(a)),
+        "pendulum_period_unknown": lambda a: pendulum_period_unknown.run(
+            PendulumConfig(N=50, Nm=100, sig2_n=1e-10, nm=a.nm or 1000),
+            backend=_backend(a)),
+        "pert_pendulum": lambda a: pert_pendulum.run(
+            PertPendulumConfig(nm=a.nm or 100)),
+        "standard_map": lambda a: standard_map.run(
+            StandardMapConfig(nm=a.nm or 100), method="implicit",
+            backend=_backend(a)),
+        "standard_map_explicit": lambda a: standard_map.run(
+            StandardMapConfig(nm=a.nm or 100), method="explicit",
+            backend=_backend(a)),
+        "henon_heiles": lambda a: henon_heiles.run(
+            HenonConfig(nm=a.nm or 500), backend=_backend(a)),
+        "henon_pallas": lambda a: henon_heiles.run(
+            HenonConfig(nm=a.nm or 500), backend=_backend(a, "pallas")),
+        "tokamak": lambda a: tokamak.run(
+            TokamakConfig(nm=a.nm or 1000),
+            optimizer=a.optimizer or "lbfgs", backend=_backend(a)),
+        "tokamak_pallas": lambda a: tokamak.run(
+            TokamakConfig(nm=a.nm or 1000),
+            optimizer=a.optimizer or "lbfgs",
+            backend=_backend(a, "pallas")),
+        # reference Split driver optimizes with CMA-ES
+        # (python/05_tokamak/Split_SympGPR/main.py:25-45)
+        "tokamak_split": lambda a: tokamak.run(
+            TokamakConfig(N=70, nphmap=4, nph=100, r_scale=0.38,
+                          qminmap=0.16, qmaxmap=0.31, nm=a.nm or 4000),
+            optimizer=a.optimizer or "cmaes", backend=_backend(a)),
     })
 
 
@@ -108,8 +120,7 @@ def cmd_run(args):
     if args.workload not in WORKLOADS:
         sys.exit(f"unknown workload {args.workload!r}; "
                  f"available: {sorted(WORKLOADS)}")
-    run_fn, cfg_fn = WORKLOADS[args.workload]
-    out = run_fn(cfg_fn(args))
+    out = WORKLOADS[args.workload](args)
     print(json.dumps(_summarize(out), default=str))
     if args.plots and "traj" in out:
         from sympgpr_tpu import plotting
@@ -146,7 +157,137 @@ def cmd_sobol(args):
     }))
 
 
+def _sample_problem(name: str):
+    """(kernel, X, z, sig2n, nll_fn, x0_theta) for the NLL posterior of a
+    workload's symplectic GP (log10 hyperparameters, sig last)."""
+    import jax.numpy as jnp
+
+    from sympgpr_tpu.gp import likelihood
+    from sympgpr_tpu.kernels import PER_SE, PER_SE_FREQ
+
+    if name in ("pendulum_implicit", "pendulum_period_unknown"):
+        from sympgpr_tpu.systems import pendulum as sys_pend
+
+        cfg = (sys_pend.PendulumConfig() if name == "pendulum_implicit"
+               else sys_pend.PendulumConfig(N=50, Nm=100, sig2_n=1e-10))
+        data = sys_pend.training_data(cfg)
+        kern = PER_SE if name == "pendulum_implicit" else PER_SE_FREQ
+        x0 = ([0.0, 0.0, 0.5] if kern is PER_SE
+              else [0.0, 0.0, -0.3, 0.5])
+        return (kern, jnp.asarray(data["X"]), jnp.asarray(data["z"]),
+                cfg.sig2_n, likelihood.nll, np.asarray(x0))
+    if name == "standard_map":
+        from sympgpr_tpu.systems import standard_map as sys_map
+
+        cfg = sys_map.StandardMapConfig()
+        data = sys_map.training_data(cfg)
+        return (PER_SE, jnp.asarray(data["X"]), jnp.asarray(data["z"]),
+                cfg.sig2_n, likelihood.nll, np.asarray([0.0, -0.5, 0.5]))
+    if name == "tokamak":
+        from sympgpr_tpu.systems import tokamak as tk
+
+        cfg = tk.TokamakConfig()
+        data = tk.training_data(cfg)
+        q, p = data["q"][:, 0], data["p"][:, 0]
+        Q, P = data["Q"][:, 0], data["P"][:, 0]
+        X = jnp.asarray(np.stack([q, P], 1))
+        z = jnp.asarray(np.concatenate([p - P, Q - q]))
+        return (PER_SE, X, z, cfg.sig2_n, likelihood.nll,
+                np.asarray([-0.3, -0.3, 1.0]))
+    sys.exit(f"no sampling posterior registered for {name!r}; "
+             "available: pendulum_implicit, pendulum_period_unknown, "
+             "standard_map, tokamak")
+
+
+def cmd_sample(args):
+    """HMC/NUTS over a workload's GP hyperparameter posterior.
+
+    The reference infers hyperparameters only by point optimization; the
+    BASELINE north star asks for NUTS/HMC over (l, sigma) sharded across
+    chains — this exposes exactly that (chains sharded over every visible
+    device when more than one is present).
+    """
+    _setup_jax(platform=args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from sympgpr_tpu.gp import hmc as hmc_mod
+    from sympgpr_tpu.gp import nuts as nuts_mod
+
+    kern, X, z, sig2n, nll_fn, x0 = _sample_problem(args.workload)
+    logprob = hmc_mod.nll_logprob(kern, X, z, sig2n, nll_fn)
+    rng = np.random.default_rng(args.seed)
+    x0s = jnp.asarray(x0[None, :] + 0.05 * rng.standard_normal(
+        (args.chains, len(x0))))
+
+    devs = jax.devices()
+    use_mesh = len(devs) > 1 and args.chains % len(devs) == 0
+    common = dict(n_warmup=args.warmup, seed=args.seed,
+                  step_size=args.step_size)
+    if args.sampler == "nuts":
+        if use_mesh:
+            from jax.sharding import Mesh
+
+            res = nuts_mod.sample_nuts_sharded(
+                logprob, x0s, Mesh(np.asarray(devs), ("chains",)),
+                args.samples, **common)
+        else:
+            res = nuts_mod.sample_nuts(logprob, x0s, args.samples, **common)
+        accept = res.accept_stat
+        extra = {"mean_depth": float(np.mean(np.asarray(res.mean_depth))),
+                 "divergences": int(np.sum(np.asarray(res.n_divergent)))}
+    else:
+        common["n_leapfrog"] = args.leapfrog
+        common["adapt_step_size"] = True
+        if use_mesh:
+            from jax.sharding import Mesh
+
+            res = hmc_mod.sample_hmc_sharded(
+                logprob, x0s, Mesh(np.asarray(devs), ("chains",)),
+                args.samples, **common)
+        else:
+            res = hmc_mod.sample_hmc(logprob, x0s, args.samples, **common)
+        accept = res.accept_rate
+        extra = {}
+
+    samples = np.asarray(res.samples)  # (chains, n, dim) log10 theta
+    flat = samples.reshape(-1, samples.shape[-1])
+    hyp_names = ([f"l{i}" for i in range(samples.shape[-1] - 1)] + ["sig"])
+    out = {
+        "workload": args.workload,
+        "sampler": args.sampler,
+        "chains": int(samples.shape[0]),
+        "samples_per_chain": int(samples.shape[1]),
+        "accept_rate": float(np.mean(np.asarray(accept))),
+        "theta_mean": dict(zip(hyp_names, flat.mean(0).round(4).tolist())),
+        "theta_std": dict(zip(hyp_names, flat.std(0).round(4).tolist())),
+        "hyp_posterior_mean": dict(
+            zip(hyp_names, (10.0 ** flat).mean(0).round(5).tolist())),
+        **extra,
+    }
+    print(json.dumps(out))
+    if args.save:
+        np.savez(args.save, samples=samples,
+                 log_probs=np.asarray(res.log_probs))
+        print(f"wrote {args.save}", file=sys.stderr)
+
+
 def cmd_bench(args):
+    if args.large_n:
+        # large-N pipeline only: covariance build + Cholesky + NLL/train
+        # throughput (north-star "build + Cholesky GFLOP/s/chip").  x64 off:
+        # the benchmark is f32 and Mosaic rejects x64's int64 indices.
+        _setup_jax(x64=False, platform=args.platform)
+        from sympgpr_tpu.workloads import large_n
+
+        out = large_n.measure(N=args.n, reps=args.reps)
+        print(json.dumps({
+            "metric": "large_n_build_plus_cholesky_gflops",
+            "value": out["build_plus_chol_gflops"],
+            "unit": "GFLOP/s/chip",
+            "detail": out,
+        }))
+        return
     import bench
 
     bench.main()
@@ -162,6 +303,13 @@ def main():
     p_run.add_argument("workload")
     p_run.add_argument("--nm", type=int, default=None,
                        help="number of map applications")
+    p_run.add_argument("--optimizer", default=None,
+                       choices=("lbfgs", "cmaes", "adam"),
+                       help="hyperparameter optimizer (workload default "
+                            "otherwise; Split tokamak defaults to cmaes)")
+    p_run.add_argument("--backend", default=None,
+                       choices=("generic", "pallas"),
+                       help="map-application backend")
     p_run.add_argument("--plots", default=None,
                        help="directory for portrait PNGs")
     p_run.set_defaults(fn=cmd_run)
@@ -174,7 +322,27 @@ def main():
     p_sobol.add_argument("--turns", type=int, default=30)
     p_sobol.set_defaults(fn=cmd_sobol)
 
+    p_sample = sub.add_parser(
+        "sample", help="HMC/NUTS over a workload's GP hyperposterior")
+    p_sample.add_argument("workload")
+    p_sample.add_argument("--sampler", default="nuts",
+                          choices=("nuts", "hmc"))
+    p_sample.add_argument("--chains", type=int, default=8)
+    p_sample.add_argument("--samples", type=int, default=200)
+    p_sample.add_argument("--warmup", type=int, default=200)
+    p_sample.add_argument("--step-size", type=float, default=0.05)
+    p_sample.add_argument("--leapfrog", type=int, default=16)
+    p_sample.add_argument("--seed", type=int, default=0)
+    p_sample.add_argument("--save", default=None,
+                          help="write samples to this .npz")
+    p_sample.set_defaults(fn=cmd_sample)
+
     p_bench = sub.add_parser("bench", help="run the headline benchmark")
+    p_bench.add_argument("--large-n", action="store_true",
+                         help="large-N build+Cholesky throughput only")
+    p_bench.add_argument("--n", type=int, default=4096,
+                         help="training-set size for --large-n")
+    p_bench.add_argument("--reps", type=int, default=8)
     p_bench.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args()

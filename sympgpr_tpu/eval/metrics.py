@@ -20,15 +20,22 @@ def energy_oscillation(H: Array, axis: int = 0) -> Array:
 
 
 def geometric_distance(
-    q1: Array, p1: Array, q_ref: Array, p_ref: Array
+    q1: Array, p1: Array, q_ref: Array, p_ref: Array,
+    mod_q: float | None = None,
 ) -> tuple[Array, Array]:
     """Per-orbit MSE of the first mapped point vs the reference orbit.
 
     Reference: ``gd[lk] = mean_squared_error([qmap[1,lk], pmap[1,lk]],
     ysint[Nm,:,lk])`` (``python/01_pendulum/implicit/func.py:187-192``).
+    The reference takes the raw angle difference, which spuriously inflates
+    gd for orbits that land just across the 0/2pi seam; ``mod_q`` enables
+    a proper minimum-image angle difference (off by default for parity).
     Returns (gd per orbit, std over orbits).
     """
-    gd = 0.5 * ((q1 - q_ref) ** 2 + (p1 - p_ref) ** 2)
+    dq = q1 - q_ref
+    if mod_q is not None:
+        dq = dq - jnp.round(dq / mod_q) * mod_q
+    gd = 0.5 * (dq**2 + (p1 - p_ref) ** 2)
     return gd, jnp.std(gd)
 
 

@@ -49,9 +49,13 @@ def _kernel_one_chain(logprob, n_leapfrog):
 
         x1, p1 = jax.lax.fori_loop(0, n_leapfrog, leap, (x, p0))
         lp1 = logprob(x1)
-        # guard non-finite proposals
+        # guard non-finite proposals; a divergent leapfrog yields NaN
+        # momenta, and log_alpha = -inf - NaN = NaN would poison the
+        # dual-averaging state (h_bar -> NaN -> eps NaN -> chain frozen
+        # all-rejecting) — map any NaN energy difference to certain reject
         lp1 = jnp.where(jnp.isfinite(lp1), lp1, -jnp.inf)
         log_alpha = (lp1 - 0.5 * p1 @ p1) - (lp - 0.5 * p0 @ p0)
+        log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
         accept = jnp.log(jax.random.uniform(kacc, dtype=x.dtype)) < log_alpha
         alpha = jnp.minimum(1.0, jnp.exp(log_alpha))
         x = jnp.where(accept, x1, x)
@@ -59,6 +63,45 @@ def _kernel_one_chain(logprob, n_leapfrog):
         return (x, lp, eps), (x, lp, accept, alpha)
 
     return hmc_step
+
+
+def find_reasonable_eps(logprob, x0, lp0, key, eps0):
+    """Stan-style step-size initialization (Hoffman & Gelman 2014, Alg 4).
+
+    Doubles/halves eps until the one-step leapfrog accept ratio crosses
+    1/2, so dual averaging starts near a workable scale.  Without this,
+    a fixed eps0 far from the posterior's curvature scale can wedge the
+    warmup on cliffy GP hyperposteriors (observed: all-reject chains on
+    the pendulum NLL at eps0=0.02) — the mu = log(10 eps) anchor then
+    fights the adaptation instead of guiding it.
+    """
+    grad = jax.grad(logprob)
+
+    def log_ratio(eps, r0):
+        r = r0 + 0.5 * eps * grad(x0)
+        x1 = x0 + eps * r
+        r = r + 0.5 * eps * grad(x1)
+        lp1 = logprob(x1)
+        lp1 = jnp.where(jnp.isfinite(lp1), lp1, -jnp.inf)
+        la = (lp1 - 0.5 * r @ r) - (lp0 - 0.5 * r0 @ r0)
+        return jnp.where(jnp.isnan(la), -jnp.inf, la)
+
+    r0 = jax.random.normal(key, x0.shape, dtype=x0.dtype)
+    la0 = log_ratio(eps0, r0)
+    log2 = jnp.asarray(np.log(2.0), x0.dtype)
+    d = jnp.where(la0 > -log2, 1.0, -1.0)
+
+    def cond(c):
+        eps, la, it = c
+        return (d * la > -d * log2) & (it < 40)
+
+    def body(c):
+        eps, _, it = c
+        eps = eps * jnp.exp2(d)
+        return eps, log_ratio(eps, r0), it + 1
+
+    eps, _, _ = jax.lax.while_loop(cond, body, (eps0, la0, 0))
+    return eps
 
 
 @partial(jax.jit, static_argnames=("logprob", "n_samples", "n_warmup",
@@ -86,10 +129,12 @@ def sample_hmc(
 
     def one_chain(x0, key):
         lp0 = logprob(x0)
+        kinit, key = jax.random.split(key)
         keys = jax.random.split(key, n_warmup + n_samples)
         eps0 = jnp.asarray(step_size, x0.dtype)
 
         if adapt_step_size and n_warmup > 0:
+            eps0 = find_reasonable_eps(logprob, x0, lp0, kinit, eps0)
             mu = jnp.log(10.0 * eps0)
             gamma, t0c, kappa = 0.05, 10.0, 0.75
 

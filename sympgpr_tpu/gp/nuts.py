@@ -234,10 +234,14 @@ def sample_nuts(
 
     def one_chain(x0, key):
         lp0 = logprob(x0)
+        kinit, key = jax.random.split(key)
         keys = jax.random.split(key, n_warmup + n_samples)
         eps0 = jnp.asarray(step_size, x0.dtype)
 
         if adapt_step_size and n_warmup > 0:
+            from sympgpr_tpu.gp.hmc import find_reasonable_eps
+
+            eps0 = find_reasonable_eps(logprob, x0, lp0, kinit, eps0)
             mu = jnp.log(10.0 * eps0)
             gamma, t0c, kappa = 0.05, 10.0, 0.75
 

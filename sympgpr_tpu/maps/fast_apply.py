@@ -36,6 +36,9 @@ Array = jax.Array
 
 _FAST_KERNELS = ("per_se", "se_se", "per_se_freq")
 _FAST_SUM_KERNELS = ("sum_per_se",)
+# a sum kernel's q-side addend determines its A-factor set; any new sum
+# kernel must register here (a silent per_se default would be wrong)
+_SUM_QSIDE = {"sum_per_se": "per_se"}
 
 
 def supports(kernel_name: str) -> bool:
@@ -80,7 +83,7 @@ def p_explicit_sum(sgp: SympGP, q: Array) -> Array:
     dependence, so its contribution to the dq dq' block vanishes)."""
     n = sgp.n_train
     d = sgp.X[None, :, 0] - q[:, None]
-    A, sp, spp = _q_factors("per_se", d, sgp.params)
+    A, sp, spp = _q_factors(_SUM_QSIDE[sgp.kernel.name], d, sgp.params)
     a0 = sgp.alpha.reshape(2, n)[0]
     return sgp.sig * jnp.sum(a0[None, :] * (spp - sp * sp) * A, axis=-1)
 

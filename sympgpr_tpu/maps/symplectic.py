@@ -207,7 +207,6 @@ def _map_step(
     return Q, Pw, dP
 
 
-@partial(jax.jit, static_argnames=("nm", "cfg", "loss_pre", "loss_post"))
 def apply_map(
     sgp: SympGP,
     aux: AuxGP | None,
@@ -217,13 +216,42 @@ def apply_map(
     cfg: MapConfig = MapConfig(),
     loss_pre: LossFn | None = None,
     loss_post: LossFn | None = None,
+    prefer_fast: bool = True,
 ) -> Trajectory:
     """Iterate the learned map nm-1 times for a batch of orbits.
 
     Returns (nm, B) trajectories whose row 0 is the initial condition,
     matching the array layout of the reference's ``applymap*`` loops
     (``python/functions/func.py:216-260``).
+
+    For the product/sum kernels in this family (all of them today) the
+    call dispatches to the factorized fast path (``maps/fast_apply.py``):
+    identical semantics (validated at 1e-12, ``tests/test_fast_apply.py``)
+    with the Newton-invariant q-side factors hoisted out of the iteration
+    — 2-3x fewer transcendentals per step.  ``prefer_fast=False`` forces
+    the generic autodiff path (the differential-testing oracle).
     """
+    from sympgpr_tpu.maps import fast_apply
+
+    if prefer_fast and fast_apply.supports(sgp.kernel.name):
+        return fast_apply.apply_map_fast(sgp, aux, q0, p0, nm, cfg,
+                                         loss_pre, loss_post)
+    return _apply_map_generic(sgp, aux, q0, p0, nm, cfg, loss_pre,
+                              loss_post)
+
+
+@partial(jax.jit, static_argnames=("nm", "cfg", "loss_pre", "loss_post"))
+def _apply_map_generic(
+    sgp: SympGP,
+    aux: AuxGP | None,
+    q0: Array,
+    p0: Array,
+    nm: int,
+    cfg: MapConfig = MapConfig(),
+    loss_pre: LossFn | None = None,
+    loss_post: LossFn | None = None,
+) -> Trajectory:
+    """Autodiff-everything rollout (any kernel; the fast path's oracle)."""
     q0 = jnp.atleast_1d(q0)
     p0 = jnp.atleast_1d(p0)
 

@@ -1,23 +1,34 @@
-"""Pallas TPU kernel: one fully-fused symplectic map step.
+"""Pallas TPU kernel: entire symplectic-map rollouts fused in one call.
 
 The XLA path for a map step (``maps/fast_apply.py``) lowers to ~30 separate
 fused elementwise ops per scan iteration (aux guess, coefficient build, 6-8
-Newton iterations, q update).  This kernel performs the *entire* step in one
-``pallas_call``: all (train x orbit-lane) intermediates live in VMEM, the
-Newton loop runs in registers/VMEM with zero HBM round trips, and the only
-HBM traffic per step is reading the (padded) training set and writing the
-(1, 128)-per-tile outputs.
+Newton iterations, q update).  ``rollout_in_kernel`` performs the ENTIRE
+nm-step rollout in one ``pallas_call``: all (train x orbit-lane)
+intermediates live in VMEM, the Newton loop runs in registers/VMEM with zero
+HBM round trips, trajectory rows are written straight into the VMEM-resident
+output block, and the per-step ``lax.scan`` dispatch floor (~30 us/step
+measured on v5e through the tunnel) is paid once per call instead of once
+per step.  Orbits ride lanes (tiles of 128); training points ride sublanes.
 
-Two kernels are provided:
+Full coverage of the reference's map-application modes (the generic autodiff
+path ``maps/symplectic.py`` remains the float64 fallback):
 
-* ``fused_map_step`` — one map step per call; orbits on sublanes (tiles of
-  TILE_B=256 rows), training points padded onto the 128-lane axis.
-* ``rollout_in_kernel`` — the ENTIRE nm-step rollout in one ``pallas_call``
-  (orbits on lanes, tiles of 128): removes the per-step scan dispatch floor
-  (~30 us/step measured on v5e through the tunnel), which dominates at
-  small/medium batch; trajectory rows are written directly into the VMEM
-  output block, and the tokamak loss-boundary check (20-iteration
-  ``compute_r`` Newton) can be fused in.
+* implicit product kernels ``per_se`` / ``se_se`` / ``per_se_freq`` with the
+  aux-GP warm start + fixed-iteration Newton ("Algorithm 1",
+  ``python/05_tokamak/SympGPR/sympgpr.f90:88-125``);
+* explicit product update (``calc_P_explicit`` on a product kernel,
+  ``python/01_pendulum/explicit/func_expl.py:106-128``);
+* separable sum kernel ``sum_per_se`` ("Algorithm 2"): the mixed block
+  vanishes, P depends only on q and dq only on P
+  (``python/04_standard_map/func.py:174-179``);
+* momentum wrap ``mod_p`` + unwrapped-momentum ``pdiff`` tracking
+  (standard-map portraits, ``python/04_standard_map/main.py:78-86``);
+* the tokamak loss-boundary check fused in (20-iteration ``compute_r``
+  Newton, ``python/05_tokamak/SympGPR/func.py:200-203``), at the old q
+  (single-map driver) or the new q (Split driver);
+* Split multi-map cycling: step i uses sub-map ``i % n_maps``
+  (``python/05_tokamak/Split_SympGPR/func.py`` ``applymap_tok``), with the
+  per-map training blocks stacked on sublanes and sliced per step.
 
 Math contract is identical to ``maps/fast_apply.py`` (factorized product
 kernel A(dq) * B(dP)); validated against it in ``tests/test_pallas_step.py``
@@ -44,91 +55,129 @@ from sympgpr_tpu.gp.model import AuxGP, SympGP
 
 Array = jax.Array
 
-LANES = 128
-_KIND = {"per_se": 0, "se_se": 1}
+LANE_TILE = 128
+_KIND = {"per_se": 0, "se_se": 1, "per_se_freq": 2, "sum_per_se": 3}
+# sum kernels use the factor set of their q-side addend
+_SUM_QSIDE = {"sum_per_se": 0}
+NSCAL = 12  # lx, ly, alx, aly, delta, mod_q, freq, afreq, mod_p, 3x pad
 
 
 class PackedModels(struct.PyTreeNode):
-    """Model arrays padded to sublane multiples, orbit-lane broadcastable.
+    """Sublane-major model arrays for the rollout kernel, n_maps stacked.
 
-    a0/a1 carry the sig factor; padding rows have zero alpha (their
-    contributions vanish identically).  kind ids are static (not traced).
+    Column arrays are (n_maps * ns, 1) with per-model stride ``ns`` (a
+    multiple of 8 sublanes); padding rows carry zero alpha so their
+    contributions vanish identically.  a0/a1/auxa carry the sig factor.
+    ``scal`` is (n_maps, NSCAL) and lives in SMEM.  kind ids / sizes are
+    static (not traced).
     """
 
-    uq: Array      # (1, N_pad) train q
-    uP: Array      # (1, N_pad) train P
-    a0: Array      # (1, N_pad) sig * alpha_dq
-    a1: Array      # (1, N_pad) sig * alpha_dP
-    auxq: Array    # (1, Na_pad)
-    auxp: Array    # (1, Na_pad)
-    auxa: Array    # (1, Na_pad) sig_aux * alpha_aux
-    scal: Array    # (8,) lx, ly, aux_lx, aux_ly, aux_delta, mod_q, pad, pad
+    uq: Array      # (M*ns, 1) train q
+    uP: Array      # (M*ns, 1) train P
+    a0: Array      # (M*ns, 1) sig * alpha_dq
+    a1: Array      # (M*ns, 1) sig * alpha_dP
+    auxq: Array    # (M*nas, 1)
+    auxp: Array    # (M*nas, 1)
+    auxa: Array    # (M*nas, 1) sig_aux * alpha_aux
+    scal: Array    # (M, NSCAL)
     kind: int = struct.field(pytree_node=False, default=0)
     aux_kind: int = struct.field(pytree_node=False, default=0)
-    # true (unpadded) training-set sizes; the sublane-major rollout path
-    # re-pads to a multiple of 8 sublanes instead of 128 lanes (at N=80
-    # that's 88 rows instead of 128 — 1.45x less VPU work per step)
-    n: int = struct.field(pytree_node=False, default=0)
-    na: int = struct.field(pytree_node=False, default=0)
+    n_maps: int = struct.field(pytree_node=False, default=1)
+    ns: int = struct.field(pytree_node=False, default=0)
+    nas: int = struct.field(pytree_node=False, default=0)
 
 
-def _pad_row(x: np.ndarray, n: int) -> np.ndarray:
-    out = np.zeros((1, n), dtype=np.float32)
-    out[0, : len(x)] = x
-    return out
+def _pad8(n: int) -> int:
+    return max(8, -(-n // 8) * 8)
 
 
-def pack_models(sgp: SympGP, aux: AuxGP, mod_q: float | None) -> PackedModels:
-    """Preprocess fitted models once for the fused kernel.
+def _col(vals: list[np.ndarray], stride: int) -> jnp.ndarray:
+    """Stack per-model 1-D arrays into one (M*stride, 1) f32 column."""
+    out = np.zeros((len(vals), stride), np.float32)
+    for m, v in enumerate(vals):
+        out[m, : len(v)] = v
+    return jnp.asarray(out.reshape(-1, 1))
 
-    Training points ride the 128-lane axis (padded to a lane multiple);
-    orbits ride sublanes in tiles of TILE_B rows.
+
+def _freq_of(model) -> float:
+    if model is not None and model.kernel.name == "per_se_freq":
+        return float(model.params[2])
+    return 0.0
+
+
+def pack_models(
+    sgp: SympGP, aux: AuxGP | None, mod_q: float | None,
+    mod_p: float | None = None,
+) -> PackedModels:
+    """Preprocess one fitted (sgp, aux) pair for the fused rollout kernel."""
+    return pack_models_split([sgp], [aux], mod_q=mod_q, mod_p=mod_p)
+
+
+def pack_models_split(
+    sgps: list[SympGP], auxes: list[AuxGP | None],
+    mod_q: float | None, mod_p: float | None = None,
+) -> PackedModels:
+    """Stack ``M`` fitted sub-maps (Split tokamak) for in-kernel cycling.
+
+    Every sub-map gets the same sublane stride (the max padded size), so a
+    traced ``i % M`` can slice its block with one aligned dynamic slice.
     """
-    n = sgp.n_train
-    n_pad = max(LANES, -(-n // LANES) * LANES)
-    a = np.asarray(sgp.alpha, np.float64).reshape(2, n)
-    sig = float(sgp.sig)
-    na = aux.X.shape[0]
-    na_pad = max(LANES, -(-na // LANES) * LANES)
-    scal = np.zeros(8, np.float32)
-    scal[0] = float(sgp.params[0])
-    scal[1] = float(sgp.params[1])
-    scal[2] = float(aux.params[0])
-    scal[3] = float(aux.params[1])
-    scal[4] = 1.0 if aux.delta else 0.0
-    scal[5] = mod_q if mod_q is not None else 0.0
+    assert len(sgps) == len(auxes) and len(sgps) >= 1
+    M = len(sgps)
+    kind = _KIND[sgps[0].kernel.name]
+    assert all(_KIND[s.kernel.name] == kind for s in sgps), \
+        "all sub-maps must share a kernel variant"
+    aux0 = next((a for a in auxes if a is not None), None)
+    aux_kind = _KIND[aux0.kernel.name] if aux0 is not None else 0
+
+    ns = max(_pad8(s.n_train) for s in sgps)
+    nas = max(_pad8(a.X.shape[0]) if a is not None else 8 for a in auxes)
+
+    uq, uP, a0, a1 = [], [], [], []
+    auxq, auxp, auxa = [], [], []
+    scal = np.zeros((M, NSCAL), np.float32)
+    for m, (s, a) in enumerate(zip(sgps, auxes)):
+        n = s.n_train
+        al = np.asarray(s.alpha, np.float64).reshape(2, n)
+        sig = float(s.sig)
+        uq.append(np.asarray(s.X[:, 0]))
+        uP.append(np.asarray(s.X[:, 1]))
+        a0.append(sig * al[0])
+        a1.append(sig * al[1])
+        if a is not None:
+            auxq.append(np.asarray(a.X[:, 0]))
+            auxp.append(np.asarray(a.X[:, 1]))
+            auxa.append(float(a.sig) * np.asarray(a.alpha, np.float64))
+        else:
+            auxq.append(np.zeros(0))
+            auxp.append(np.zeros(0))
+            auxa.append(np.zeros(0))
+        scal[m, 0] = float(s.params[0])
+        scal[m, 1] = float(s.params[1])
+        scal[m, 2] = float(a.params[0]) if a is not None else 1.0
+        scal[m, 3] = float(a.params[1]) if a is not None else 1.0
+        scal[m, 4] = 1.0 if (a is not None and a.delta) else 0.0
+        scal[m, 5] = mod_q if mod_q is not None else 0.0
+        scal[m, 6] = _freq_of(s)
+        scal[m, 7] = _freq_of(a)
+        scal[m, 8] = mod_p if mod_p is not None else 0.0
+
     return PackedModels(
-        uq=jnp.asarray(_pad_row(np.asarray(sgp.X[:, 0]), n_pad)),
-        uP=jnp.asarray(_pad_row(np.asarray(sgp.X[:, 1]), n_pad)),
-        a0=jnp.asarray(_pad_row(sig * a[0], n_pad)),
-        a1=jnp.asarray(_pad_row(sig * a[1], n_pad)),
-        auxq=jnp.asarray(_pad_row(np.asarray(aux.X[:, 0]), na_pad)),
-        auxp=jnp.asarray(_pad_row(np.asarray(aux.X[:, 1]), na_pad)),
-        auxa=jnp.asarray(
-            _pad_row(float(aux.sig) * np.asarray(aux.alpha), na_pad)
-        ),
-        scal=jnp.asarray(scal),
-        kind=_KIND[sgp.kernel.name],
-        aux_kind=_KIND[aux.kernel.name],
-        n=n,
-        na=na,
+        uq=_col(uq, ns), uP=_col(uP, ns), a0=_col(a0, ns), a1=_col(a1, ns),
+        auxq=_col(auxq, nas), auxp=_col(auxp, nas), auxa=_col(auxa, nas),
+        scal=jnp.asarray(scal), kind=kind, aux_kind=aux_kind,
+        n_maps=M, ns=ns, nas=nas,
     )
 
 
-def _afactors(kind: int, d, lx):
-    """A(d) = exp(-s), s'(d), s''(d); kind is a *static* python int."""
-    s, sp, spp = _sfactors(kind, d, lx)
-    return jnp.exp(-s), sp, spp
+def _sfactors(kind: int, d, lx, f):
+    """Log-space kernel q-factor: s(d) with A = exp(-s), plus s', s''.
 
-
-def _sfactors(kind: int, d, lx):
-    """Log-space kernel factor: s(d) with A = exp(-s), plus s', s''.
-
-    One sin/cos pair at half angle covers all three periodic factors via
-    double-angle identities (sin d = 2 sh ch, cos d = 1 - 2 sh^2) — one
-    transcendental fewer per (N, B) block than evaluating sin d and cos d
-    directly, and returning s (not exp(-s)) lets callers fuse several
-    kernel factors into a single exp.
+    One sin/cos pair covers all three periodic factors via double-angle
+    identities (sin d = 2 sh ch, cos d = 1 - 2 sh^2) — one transcendental
+    fewer per (N, B) block than evaluating sin d and cos d directly, and
+    returning s (not exp(-s)) lets callers fuse several kernel factors
+    into a single exp.  ``f`` is the traced frequency (kind 2 only).
     """
     i2 = 0.5 / (lx * lx)
     if kind == 0:  # periodic: s = sin^2(d/2)/(2lx^2)
@@ -136,147 +185,20 @@ def _sfactors(kind: int, d, lx):
         ch = jnp.cos(0.5 * d)
         s2 = sh * sh
         return s2 * i2, (sh * ch) * i2, (0.5 - s2) * i2
+    if kind == 2:  # learned-frequency periodic: s = sin^2(f d)/(2lx^2)
+        sh = jnp.sin(f * d)
+        ch = jnp.cos(f * d)
+        s2 = sh * sh
+        return s2 * i2, (2.0 * f) * (sh * ch) * i2, \
+            (2.0 * f * f) * (1.0 - 2.0 * s2) * i2
     # squared exponential: s = d^2/(2lx^2)
     return d * d * i2, d * (2.0 * i2), jnp.full_like(d, 2.0 * i2)
 
 
-def _step_kernel(
-    scal_ref, uq_ref, uP_ref, a0_ref, a1_ref, auxq_ref, auxp_ref, auxa_ref,
-    q_ref, p_ref, Q_out, P_out, *, kind: int, aux_kind: int, iters: int,
-):
-    q = q_ref[:]  # (TILE_B, 1)
-    p = p_ref[:]
-    lx = scal_ref[0]
-    ly = scal_ref[1]
-    alx = scal_ref[2]
-    aly = scal_ref[3]
-    delta = scal_ref[4]
-    mod_q = scal_ref[5]
-    ily2 = 1.0 / (ly * ly)
-
-    # ---- aux guess (one pass over aux train lanes) ----
-    dqa = auxq_ref[:] - q  # (TILE_B, Na) via broadcast
-    sa, _, _ = _sfactors(aux_kind, dqa, alx)
-    dpa = auxp_ref[:] - p
-    st = sa + (dpa * dpa) * (0.5 / (aly * aly))
-    mean = jnp.sum(auxa_ref[:] * jnp.exp(-st), axis=1, keepdims=True)
-    P = mean + delta * p
-
-    # ---- Newton-invariant coefficients ----
-    d = uq_ref[:] - q  # (TILE_B, N)
-    A, sp, spp = _afactors(kind, d, lx)
-    a0 = a0_ref[:]
-    a1 = a1_ref[:]
-    c0 = a0 * (spp - sp * sp) * A
-    c1 = -a1 * sp * A * ily2
-    c2 = -a0 * sp * A * ily2
-    c3 = a1 * A
-    uP = uP_ref[:]
-
-    # ---- Newton iterations, all in VMEM ----
-    def body(_, P):
-        dP = uP - P
-        B = jnp.exp(-(dP * dP) * (0.5 * ily2))
-        f = jnp.sum((c0 + c1 * dP) * B, axis=1, keepdims=True) - p + P
-        fp = jnp.sum(
-            (c0 * dP * ily2 + c1 * (dP * dP * ily2 - 1.0)) * B,
-            axis=1, keepdims=True,
-        ) + 1.0
-        Pn = P - f / fp
-        return jnp.where(jnp.isfinite(Pn), Pn, P)
-
-    P = jax.lax.fori_loop(0, iters, body, P)
-
-    # ---- q update ----
-    dP = uP - P
-    B = jnp.exp(-(dP * dP) * (0.5 * ily2))
-    dq = jnp.sum((c2 * dP + c3 * (ily2 - dP * dP * ily2 * ily2)) * B,
-                 axis=1, keepdims=True)
-    Q = q + dq
-    Q = jnp.where(mod_q > 0.0, Q - jnp.floor(Q / mod_q) * mod_q, Q)
-    Q = jnp.where(jnp.isfinite(P), Q, jnp.nan)
-    Q_out[:] = Q
-    P_out[:] = P
-
-
-TILE_B = 256
-
-
-@functools.partial(
-    jax.jit, static_argnames=("kind", "aux_kind", "iters", "interpret")
-)
-def _fused_step_call(
-    packed_arrays, qcol, pcol, kind, aux_kind, iters, interpret
-):
-    uq, uP, a0, a1, auxq, auxp, auxa, scal = packed_arrays
-    B = qcol.shape[0]
-    kernel = functools.partial(
-        _step_kernel, kind=kind, aux_kind=aux_kind, iters=iters
-    )
-
-    def full(a):
-        return pl.BlockSpec(a.shape, lambda g: (0,) * a.ndim,
-                            memory_space=pltpu.VMEM)
-
-    batch = pl.BlockSpec((TILE_B, 1), lambda g: (g, 0),
-                         memory_space=pltpu.VMEM)
-    Q, P = pl.pallas_call(
-        kernel,
-        grid=(B // TILE_B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
-            full(uq), full(uP), full(a0), full(a1),
-            full(auxq), full(auxp), full(auxa),
-            batch, batch,
-        ],
-        out_specs=(batch, batch),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, 1), qcol.dtype),
-            jax.ShapeDtypeStruct((B, 1), qcol.dtype),
-        ),
-        interpret=interpret,
-    )(scal, uq, uP, a0, a1, auxq, auxp, auxa, qcol, pcol)
-    return Q, P
-
-
-def fused_map_step(
-    pm: PackedModels, q: Array, p: Array, iters: int = 8,
-    interpret: bool = False,
-):
-    """One implicit symplectic map step for a batch (B,) of orbits.
-
-    B must be a multiple of TILE_B=256 (pad with NaN orbits upstream).
-    """
-    B = q.shape[0]
-    assert B % TILE_B == 0, f"batch {B} must be a multiple of {TILE_B}"
-    arrays = (pm.uq, pm.uP, pm.a0, pm.a1, pm.auxq, pm.auxp, pm.auxa, pm.scal)
-    Q, P = _fused_step_call(
-        arrays, q.reshape(B, 1), p.reshape(B, 1),
-        pm.kind, pm.aux_kind, iters, interpret,
-    )
-    return Q.reshape(B), P.reshape(B)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("nm", "iters", "interpret", "save_traj")
-)
-def rollout_fused(
-    pm: PackedModels, q0: Array, p0: Array, nm: int, iters: int = 8,
-    interpret: bool = False, save_traj: bool = True,
-):
-    """nm-step rollout using the fused kernel inside one lax.scan."""
-
-    def step(carry, _):
-        q, p = carry
-        Q, P = fused_map_step(pm, q, p, iters=iters, interpret=interpret)
-        return (Q, P), ((Q, P) if save_traj else None)
-
-    (q, p), traj = jax.lax.scan(step, (q0, p0), None, length=nm - 1)
-    if not save_traj:
-        return q, p
-    qs = jnp.concatenate([q0[None], traj[0]], axis=0)
-    ps = jnp.concatenate([p0[None], traj[1]], axis=0)
-    return qs, ps
+def _afactors(kind: int, d, lx, f=0.0):
+    """A(d) = exp(-s), s'(d), s''(d); kind is a *static* python int."""
+    s, sp, spp = _sfactors(kind, d, lx, f)
+    return jnp.exp(-s), sp, spp
 
 
 # ---------------------------------------------------------------------------
@@ -284,140 +206,195 @@ def rollout_fused(
 #
 # One pallas_call per rollout: grid over orbit tiles; each program iterates
 # all nm-1 map steps for its 128-lane orbit tile, writing trajectory rows
-# straight into its VMEM-resident output block.  This removes the per-step
-# lax.scan dispatch floor (~30 us/step measured on v5e via the tunnel), which
-# dominates at small/medium batch sizes.  Orbits ride lanes here; training
-# points ride sublanes.
+# straight into its VMEM-resident output block.
 
 
 def _rollout_kernel(
     scal_ref, uq_ref, uP_ref, a0_ref, a1_ref, auxq_ref, auxp_ref, auxa_ref,
-    q0_ref, p0_ref, Q_out, P_out, *, kind: int, aux_kind: int, iters: int,
-    nm: int, loss_check: bool,
+    q0_ref, p0_ref, *out_refs, kind: int, aux_kind: int, iters: int,
+    nm: int, loss_check: bool, loss_at_new_q: bool, explicit: bool,
+    track_pdiff: bool, n_maps: int, ns: int, nas: int, mxu_reduce: bool,
 ):
-    g = pl.program_id(0)
-    lx = scal_ref[0]
-    ly = scal_ref[1]
-    alx = scal_ref[2]
-    aly = scal_ref[3]
-    delta = scal_ref[4]
-    mod_q = scal_ref[5]
-    ily2 = 1.0 / (ly * ly)
+    if mxu_reduce:
+        # experimental: train-sublane reductions as (1, N)x(N, 128) dots on
+        # the MXU instead of VPU cross-sublane adds.  Measured on v5e
+        # (bench.py rollout_mxu detail): at the reference N<=80 the matmul
+        # is ~1-row MXU utilization and does NOT beat the VPU reduction;
+        # kept for re-measurement at larger N.
+        ones_n = jnp.ones((1, n_maps * ns), jnp.float32)
+        ones_na = jnp.ones((1, n_maps * nas), jnp.float32)
 
-    uq = uq_ref[:]      # (N, 1) sublane-major train coords
-    uP = uP_ref[:]
-    a0 = a0_ref[:]
-    a1 = a1_ref[:]
-    auxq = auxq_ref[:]
-    auxp = auxp_ref[:]
-    auxa = auxa_ref[:]
+        def _rsum(M, ones):
+            o = ones[:, : M.shape[0]] if M.shape[0] != ones.shape[1] else \
+                ones
+            return jax.lax.dot_general(
+                o, M, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        def rsum(M):
+            return _rsum(M, ones_n)
+
+        def rsum_aux(M):
+            return _rsum(M, ones_na)
+    else:
+        def rsum(M):
+            return jnp.sum(M, axis=0, keepdims=True)
+
+        rsum_aux = rsum
+    g = pl.program_id(0)
+    if track_pdiff:
+        Q_out, P_out, D_out = out_refs
+    else:
+        Q_out, P_out = out_refs
+        D_out = None
 
     q = q0_ref[pl.ds(g, 1), :]  # (1, LANE_TILE)
     p = p0_ref[pl.ds(g, 1), :]
     Q_out[pl.ds(0, 1), :] = q
     P_out[pl.ds(0, 1), :] = p
+    if track_pdiff:
+        D_out[pl.ds(0, 1), :] = p
+
+    single = n_maps == 1
+    if single:
+        # hoist all model loads out of the time loop (the hot path)
+        blocks0 = (uq_ref[:], uP_ref[:], a0_ref[:], a1_ref[:],
+                   auxq_ref[:], auxp_ref[:], auxa_ref[:])
+        scal0 = tuple(scal_ref[0, j] for j in range(9))
 
     def map_step(i, carry):
-        q, p = carry
-        # aux guess — q- and p-factors fused into ONE exp (log-space sum)
-        dqa = auxq - q
-        sa, _, _ = _sfactors(aux_kind, dqa, alx)
-        dpa = auxp - p
-        st = sa + (dpa * dpa) * (0.5 / (aly * aly))
-        mean = jnp.sum(auxa * jnp.exp(-st), axis=0, keepdims=True)
-        P = mean + delta * p
-        # Newton-invariant coefficients
+        q, p, pd = carry
+        if single:
+            uq, uP, a0, a1, auxq, auxp, auxa = blocks0
+            lx, ly, alx, aly, delta, mod_q, freq, afreq, mod_p = scal0
+        else:
+            m = jnp.mod(i - 1, n_maps)  # step index i-1 uses sub-map m
+            o = m * ns
+            uq = uq_ref[pl.ds(o, ns), :]
+            uP = uP_ref[pl.ds(o, ns), :]
+            a0 = a0_ref[pl.ds(o, ns), :]
+            a1 = a1_ref[pl.ds(o, ns), :]
+            oa = m * nas
+            auxq = auxq_ref[pl.ds(oa, nas), :]
+            auxp = auxp_ref[pl.ds(oa, nas), :]
+            auxa = auxa_ref[pl.ds(oa, nas), :]
+            (lx, ly, alx, aly, delta, mod_q, freq, afreq, mod_p) = (
+                scal_ref[m, 0], scal_ref[m, 1], scal_ref[m, 2],
+                scal_ref[m, 3], scal_ref[m, 4], scal_ref[m, 5],
+                scal_ref[m, 6], scal_ref[m, 7], scal_ref[m, 8])
+        ily2 = 1.0 / (ly * ly)
+
+        # ---- q-side factors (Newton-invariant) ----
         d = uq - q
-        s, sp, spp = _sfactors(kind, d, lx)
-        A = jnp.exp(-s)
-        c0 = a0 * (spp - sp * sp) * A
-        c1 = -a1 * sp * A * ily2
-        c2 = -a0 * sp * A * ily2
-        c3 = a1 * A
-        c0i = c0 * ily2
-        c1i = c1 * ily2
+        if kind == 3:  # separable sum: q-side addend factors only
+            s, sp, spp = _sfactors(_SUM_QSIDE["sum_per_se"], d, lx, freq)
+            A = jnp.exp(-s)
+            # Algorithm 2: pGP depends on q alone (the B addend's dq dq'
+            # derivative vanishes); no Newton, no aux GP.
+            P = p - rsum(a0 * (spp - sp * sp) * A)
+            c2 = c3 = None
+        else:
+            s, sp, spp = _sfactors(kind, d, lx, freq)
+            A = jnp.exp(-s)
+            c0 = a0 * (spp - sp * sp) * A
+            c1 = -a1 * sp * A * ily2
+            c2 = -a0 * sp * A * ily2
+            c3 = a1 * A
 
-        def newton(_, P):
-            dP = uP - P
-            dP2 = dP * dP
-            B = jnp.exp(-dP2 * (0.5 * ily2))
-            f = jnp.sum((c0 + c1 * dP) * B, axis=0, keepdims=True) - p + P
-            fp = jnp.sum(
-                (c0i * dP + c1i * dP2 - c1) * B, axis=0, keepdims=True,
-            ) + 1.0
-            Pn = P - f / fp
-            return jnp.where(jnp.isfinite(Pn), Pn, P)
+            if explicit:
+                dP0 = uP - p
+                B = jnp.exp(-(dP0 * dP0) * (0.5 * ily2))
+                P = p - rsum((c0 + c1 * dP0) * B)
+            else:
+                # aux warm start — q- and p-factors fused into ONE exp
+                dqa = auxq - q
+                sa, _, _ = _sfactors(aux_kind, dqa, alx, afreq)
+                dpa = auxp - p
+                st = sa + (dpa * dpa) * (0.5 / (aly * aly))
+                mean = rsum_aux(auxa * jnp.exp(-st))
+                P = mean + delta * p
+                c0i = c0 * ily2
+                c1i = c1 * ily2
 
-        P = jax.lax.fori_loop(0, iters, newton, P)
+                def newton(_, P):
+                    dP = uP - P
+                    dP2 = dP * dP
+                    B = jnp.exp(-dP2 * (0.5 * ily2))
+                    f = rsum((c0 + c1 * dP) * B) - p + P
+                    fp = rsum((c0i * dP + c1i * dP2 - c1) * B) + 1.0
+                    Pn = P - f / fp
+                    return jnp.where(jnp.isfinite(Pn), Pn, P)
 
-        if loss_check:
-            # tokamak loss boundary: r from pth = Ath(r, th) (20-iter
-            # Newton, fieldlines.f90:94-107), poison r > 0.5 or P < 0.
-            # cos(q) is loop-invariant — hoisted (it was 36% of the whole
-            # rollout when evaluated inside the iteration).
-            pth = P * 1e-2
-            cq = jnp.cos(q)
+                P = jax.lax.fori_loop(0, iters, newton, P)
 
-            def rit(_, r):
-                y = pth - (r * r / 2.0 - r * r * r / 3.0 * cq)
-                dy = -(r - r * r * cq)
-                return r - y / dy
+        if loss_check and not loss_at_new_q:
+            P = jnp.where(_tokamak_lost(P, q), jnp.nan, P)
 
-            r = jax.lax.fori_loop(0, 20, rit, jnp.full_like(P, 0.3))
-            P = jnp.where((r > 0.5) | (P < 0.0), jnp.nan, P)
+        dPc = P - p  # unwrapped momentum increment (pdiff)
+        Pw = jnp.where(mod_p > 0.0, P - jnp.floor(P / mod_p) * mod_p, P)
 
-        dP = uP - P
+        # ---- q update at the (wrapped) solved momentum ----
+        dP = uP - Pw
         dP2 = dP * dP
         B = jnp.exp(-dP2 * (0.5 * ily2))
-        dq = jnp.sum((c2 * dP + c3 * (ily2 - dP2 * ily2 * ily2)) * B,
-                     axis=0, keepdims=True)
+        if kind == 3:
+            dq = rsum(a1 * (ily2 - dP2 * ily2 * ily2) * B)
+        else:
+            dq = rsum((c2 * dP + c3 * (ily2 - dP2 * ily2 * ily2)) * B)
         Q = q + dq
         Q = jnp.where(mod_q > 0.0, Q - jnp.floor(Q / mod_q) * mod_q, Q)
-        Q = jnp.where(jnp.isfinite(P), Q, jnp.nan)
+
+        if loss_check and loss_at_new_q:
+            # Split driver: boundary checked at the NEW angle
+            # (python/05_tokamak/Split_SympGPR/func.py loss handling)
+            lost = _tokamak_lost(Pw, Q)
+            Pw = jnp.where(lost, jnp.nan, Pw)
+        Q = jnp.where(jnp.isfinite(Pw), Q, jnp.nan)
         Q_out[pl.ds(i, 1), :] = Q
-        P_out[pl.ds(i, 1), :] = P
-        return (Q, P)
+        P_out[pl.ds(i, 1), :] = Pw
+        pd = pd + dPc
+        if track_pdiff:
+            D_out[pl.ds(i, 1), :] = pd
+        return (Q, Pw, pd)
 
-    jax.lax.fori_loop(1, nm, map_step, (q, p))
-
-
-def _pack_cols(pm: PackedModels):
-    """Transpose packed rows (1, N_pad) -> sublane-major columns.
-
-    The sublane axis only needs a multiple of 8, so slice the 128-lane
-    padding back down (zero-alpha pad rows contribute nothing either way;
-    keeping 88 instead of 128 rows at N=80 cuts the dominant (N, B)
-    elementwise work by 1.45x).
-    """
-
-    def cut(a, k):
-        if k <= 0:  # legacy packs without sizes
-            return a.reshape(-1, 1)
-        k8 = max(8, -(-k // 8) * 8)
-        return a[:, :k8].reshape(-1, 1)
-
-    return (cut(pm.uq, pm.n), cut(pm.uP, pm.n), cut(pm.a0, pm.n),
-            cut(pm.a1, pm.n), cut(pm.auxq, pm.na), cut(pm.auxp, pm.na),
-            cut(pm.auxa, pm.na))
+    jax.lax.fori_loop(1, nm, map_step, (q, p, p))
 
 
-LANE_TILE = 128
+def _tokamak_lost(P, th):
+    """Tokamak loss boundary: r from pth = Ath(r, th) (20-iter Newton,
+    fieldlines.f90:94-107); lost when r > 0.5 or P < 0.  cos(th) is
+    loop-invariant — hoisted (it was 36% of the whole rollout when
+    evaluated inside the iteration)."""
+    pth = P * 1e-2
+    ct = jnp.cos(th)
+
+    def rit(_, r):
+        y = pth - (r * r / 2.0 - r * r * r / 3.0 * ct)
+        dy = -(r - r * r * ct)
+        return r - y / dy
+
+    r = jax.lax.fori_loop(0, 20, rit, jnp.full_like(P, 0.3))
+    return (r > 0.5) | (P < 0.0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "aux_kind", "iters", "nm", "loss_check",
-                     "interpret"),
+                     "loss_at_new_q", "explicit", "track_pdiff", "n_maps",
+                     "ns", "nas", "mxu_reduce", "interpret"),
 )
-def _rollout_call(cols, scal, q0g, p0g, kind, aux_kind, iters, nm,
-                  loss_check, interpret):
-    uq, uP, a0, a1, auxq, auxp, auxa = cols
+def _rollout_call(pm_arrays, q0g, p0g, kind, aux_kind, iters, nm,
+                  loss_check, loss_at_new_q, explicit, track_pdiff,
+                  n_maps, ns, nas, mxu_reduce, interpret):
+    uq, uP, a0, a1, auxq, auxp, auxa, scal = pm_arrays
     G = q0g.shape[0]
     nm_pad = -(-nm // 8) * 8
 
     kernel = functools.partial(
         _rollout_kernel, kind=kind, aux_kind=aux_kind, iters=iters, nm=nm,
-        loss_check=loss_check,
+        loss_check=loss_check, loss_at_new_q=loss_at_new_q,
+        explicit=explicit, track_pdiff=track_pdiff, n_maps=n_maps,
+        ns=ns, nas=nas, mxu_reduce=mxu_reduce,
     )
 
     def full(a):
@@ -426,7 +403,8 @@ def _rollout_call(cols, scal, q0g, p0g, kind, aux_kind, iters, nm,
 
     traj = pl.BlockSpec((nm_pad, LANE_TILE), lambda g: (0, g),
                         memory_space=pltpu.VMEM)
-    Q, P = pl.pallas_call(
+    n_out = 3 if track_pdiff else 2
+    outs = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
@@ -435,19 +413,21 @@ def _rollout_call(cols, scal, q0g, p0g, kind, aux_kind, iters, nm,
             full(auxq), full(auxp), full(auxa),
             full(q0g), full(p0g),
         ],
-        out_specs=(traj, traj),
-        out_shape=(
-            jax.ShapeDtypeStruct((nm_pad, G * LANE_TILE), q0g.dtype),
-            jax.ShapeDtypeStruct((nm_pad, G * LANE_TILE), q0g.dtype),
+        out_specs=(traj,) * n_out,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nm_pad, G * LANE_TILE), q0g.dtype)
+            for _ in range(n_out)
         ),
         interpret=interpret,
     )(scal, uq, uP, a0, a1, auxq, auxp, auxa, q0g, p0g)
-    return Q[:nm], P[:nm]
+    return tuple(o[:nm] for o in outs)
 
 
 def rollout_in_kernel(
     pm: PackedModels, q0: Array, p0: Array, nm: int, iters: int = 5,
-    loss_check: bool = False, interpret: bool = False,
+    loss_check: bool = False, loss_at_new_q: bool = False,
+    explicit: bool = False, track_pdiff: bool = False,
+    mxu_reduce: bool = False, interpret: bool = False,
 ):
     """Full nm-step rollout in ONE pallas_call (trajectory included).
 
@@ -457,35 +437,95 @@ def rollout_in_kernel(
     same magnitude as the 8-vs-16 summation noise); 5 keeps one iteration
     of margin and is ~17% faster end-to-end than 8.
 
-    B must be a multiple of 128.  VMEM per tile is ~2 * nm * 128 * 4 bytes;
-    keep nm <= ~8000 per call (chunk longer rollouts with the final carry).
-    Returns (nm, B) trajectories.
+    B must be a multiple of 128.  VMEM per tile is ~(2-3) * nm * 128 * 4
+    bytes; keep nm <= ~8000 per call (chunk longer rollouts with
+    ``rollout_chunked``).  Returns (nm, B) trajectories: (Q, P) or
+    (Q, P, pdiff) with ``track_pdiff``.
     """
     B = q0.shape[0]
     assert B % LANE_TILE == 0, f"batch {B} must be a multiple of {LANE_TILE}"
     G = B // LANE_TILE
-    cols = _pack_cols(pm)
+    arrays = (pm.uq, pm.uP, pm.a0, pm.a1, pm.auxq, pm.auxp, pm.auxa, pm.scal)
     q0g = q0.reshape(G, LANE_TILE)
     p0g = p0.reshape(G, LANE_TILE)
-    Q, P = _rollout_call(cols, pm.scal, q0g, p0g, pm.kind, pm.aux_kind,
-                         iters, nm, loss_check, interpret)
-    return Q, P
+    if pm.kind == 3:
+        explicit = True
+    return _rollout_call(arrays, q0g, p0g, pm.kind, pm.aux_kind,
+                         iters, nm, loss_check, loss_at_new_q, explicit,
+                         track_pdiff, pm.n_maps, pm.ns, pm.nas,
+                         mxu_reduce, interpret)
+
+
+def rollout_chunked(
+    pm: PackedModels, q0: Array, p0: Array, nm: int, iters: int = 5,
+    loss_check: bool = False, loss_at_new_q: bool = False,
+    explicit: bool = False, track_pdiff: bool = False,
+    mxu_reduce: bool = False, interpret: bool = False, chunk: int = 4096,
+):
+    """Arbitrary-length rollout via VMEM-sized ``rollout_in_kernel`` chunks.
+
+    The whole-rollout kernel keeps its (nm, 128) trajectory block in VMEM,
+    which caps nm per call; this splits the time axis into ``chunk``-step
+    kernel launches carrying (q, p) across, so long reference rollouts
+    (e.g. the 10k-step tokamak runs, calc_fieldlines.py:19) still pay the
+    scan dispatch floor only once per chunk instead of once per step.
+    Returns (nm, B) trajectories like ``rollout_in_kernel``.
+    """
+    kw = dict(iters=iters, loss_check=loss_check,
+              loss_at_new_q=loss_at_new_q, explicit=explicit,
+              track_pdiff=track_pdiff, mxu_reduce=mxu_reduce,
+              interpret=interpret)
+    if pm.n_maps > 1:
+        # chunk boundaries must preserve the i % n_maps sub-map phase
+        chunk = max(pm.n_maps, chunk - ((chunk - 1) % pm.n_maps))
+    if nm <= chunk:
+        return rollout_in_kernel(pm, q0, p0, nm, **kw)
+    # each n-row call emits the input state as row 0 and advances n-1 steps;
+    # non-first chunks drop that duplicate row.  NaN-poisoned orbits carry
+    # over naturally (NaN q/p stays NaN through the kernel).  The kernel's
+    # pdiff restarts at the chunk's own p row 0, so later chunks are offset
+    # by (total pdiff so far) - (chunk-start p), a per-orbit constant.
+    outs: list[list[Array]] = []
+    q, p = q0, p0
+    pd_off = None
+    rows = 0
+    while rows < nm:
+        n = min(chunk, nm - rows + (1 if rows else 0))
+        res = rollout_in_kernel(pm, q, p, n, **kw)
+        first = rows == 0
+        sl = slice(None) if first else slice(1, None)
+        if track_pdiff:
+            Q, P, D = res
+            D = D if pd_off is None else D + pd_off
+            pd_off = D[-1] - P[-1]  # next chunk's pdiff starts at its p0
+            outs.append([Q[sl], P[sl], D[sl]])
+        else:
+            Q, P = res
+            outs.append([Q[sl], P[sl]])
+        q, p = Q[-1], P[-1]
+        rows += n if first else n - 1
+    return tuple(jnp.concatenate([o[k] for o in outs], axis=0)
+                 for k in range(len(outs[0])))
 
 
 def rollout_pallas(
-    sgp: SympGP, aux: AuxGP, q0: Array, p0: Array, nm: int, *,
-    mod_q: float | None = 2.0 * np.pi, iters: int = 5,
-    loss_check: bool = False, deployment_jitter: float | None = 1e-3,
+    sgp: SympGP | list[SympGP], aux: AuxGP | list[AuxGP | None] | None,
+    q0: Array, p0: Array, nm: int, *,
+    mod_q: float | None = 2.0 * np.pi, mod_p: float | None = None,
+    iters: int = 5, explicit: bool = False, track_pdiff: bool = False,
+    loss_check: bool = False, loss_at_new_q: bool = False,
+    deployment_jitter: float | None = 1e-3,
     interpret: bool | None = None, chunk: int = 4096,
 ):
-    """Model-level fused rollout: any product-kernel (per_se / se_se)
-    SympGP + AuxGP pair, arbitrary batch size and rollout length.
+    """Model-level fused rollout: any kernel variant, single or Split
+    multi-map, arbitrary batch size and rollout length.
 
     Handles the full f32 deployment pipeline: host-side alpha
     re-conditioning (``SympGP.for_deployment``, an f64 Cholesky), f32
     cast, lane packing, NaN padding of the orbit batch to a multiple of
     128, the x64-off kernel trace, VMEM chunking of the time axis, and
-    un-padding.  Returns (nm, B) trajectories (NaN rows for lost orbits).
+    un-padding.  Returns (nm, B) trajectories (NaN rows for lost orbits):
+    (Q, P), or (Q, P, pdiff) with ``track_pdiff``.
 
     ``interpret`` defaults to True on the CPU backend (tests) and False on
     an accelerator.  ``deployment_jitter=None`` skips re-conditioning (use
@@ -495,6 +535,9 @@ def rollout_pallas(
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    sgps = sgp if isinstance(sgp, (list, tuple)) else [sgp]
+    auxes = (list(aux) if isinstance(aux, (list, tuple))
+             else [aux] * len(sgps))
 
     def cast32(t):
         return jax.tree_util.tree_map(
@@ -503,9 +546,13 @@ def rollout_pallas(
 
     with host_fit():
         if deployment_jitter is not None:
-            sgp = sgp.for_deployment(deployment_jitter)
-            aux = aux.for_deployment(deployment_jitter)
-        pm = pack_models(cast32(sgp), cast32(aux), mod_q=mod_q)
+            sgps = [s.for_deployment(deployment_jitter) for s in sgps]
+            auxes = [a.for_deployment(deployment_jitter)
+                     if a is not None else None for a in auxes]
+        pm = pack_models_split(
+            [cast32(s) for s in sgps],
+            [cast32(a) if a is not None else None for a in auxes],
+            mod_q=mod_q, mod_p=mod_p)
     pm = to_default_device(pm)
 
     q0 = np.asarray(q0, np.float32)
@@ -517,41 +564,9 @@ def rollout_pallas(
     p0p = to_default_device(jnp.asarray(
         np.concatenate([p0, np.full(pad, np.nan, np.float32)])))
     with jax.enable_x64(False):
-        Q, P = rollout_chunked(pm, q0p, p0p, nm, iters=iters,
-                               loss_check=loss_check, interpret=interpret,
-                               chunk=chunk)
-    return Q[:, :B], P[:, :B]
-
-
-def rollout_chunked(
-    pm: PackedModels, q0: Array, p0: Array, nm: int, iters: int = 5,
-    loss_check: bool = False, interpret: bool = False,
-    chunk: int = 4096,
-):
-    """Arbitrary-length rollout via VMEM-sized ``rollout_in_kernel`` chunks.
-
-    The whole-rollout kernel keeps its (nm, 128) trajectory block in VMEM,
-    which caps nm per call; this splits the time axis into ``chunk``-step
-    kernel launches carrying (q, p) across, so long reference rollouts
-    (e.g. the 10k-step tokamak runs, calc_fieldlines.py:19) still pay the
-    scan dispatch floor only once per chunk instead of once per step.
-    Returns (nm, B) trajectories like ``rollout_in_kernel``.
-    """
-    if nm <= chunk:
-        return rollout_in_kernel(pm, q0, p0, nm, iters=iters,
-                                 loss_check=loss_check, interpret=interpret)
-    # each n-row call emits the input state as row 0 and advances n-1 steps;
-    # non-first chunks drop that duplicate row.  NaN-poisoned orbits carry
-    # over naturally (NaN q/p stays NaN through the kernel).
-    Qs, Ps = [], []
-    q, p = q0, p0
-    rows = 0
-    while rows < nm:
-        n = min(chunk, nm - rows + (1 if rows else 0))
-        Q, P = rollout_in_kernel(pm, q, p, n, iters=iters,
-                                 loss_check=loss_check, interpret=interpret)
-        q, p = Q[-1], P[-1]
-        Qs.append(Q if rows == 0 else Q[1:])
-        Ps.append(P if rows == 0 else P[1:])
-        rows += n if rows == 0 else n - 1
-    return jnp.concatenate(Qs, axis=0), jnp.concatenate(Ps, axis=0)
+        outs = rollout_chunked(pm, q0p, p0p, nm, iters=iters,
+                               loss_check=loss_check,
+                               loss_at_new_q=loss_at_new_q,
+                               explicit=explicit, track_pdiff=track_pdiff,
+                               interpret=interpret, chunk=chunk)
+    return tuple(o[:, :B] for o in outs)

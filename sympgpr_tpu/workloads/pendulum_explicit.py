@@ -26,7 +26,8 @@ def config() -> sys_pend.PendulumConfig:
     return sys_pend.PendulumConfig(Nm=70, sig2_n=1e-10)
 
 
-def run(cfg: sys_pend.PendulumConfig | None = None) -> dict[str, Any]:
+def run(cfg: sys_pend.PendulumConfig | None = None,
+        backend: str = "generic") -> dict[str, Any]:
     cfg = cfg or config()
     from sympgpr_tpu.devices import host_fit, to_default_device
 
@@ -46,8 +47,18 @@ def run(cfg: sys_pend.PendulumConfig | None = None) -> dict[str, Any]:
     q0, p0 = sys_pend.test_initial_conditions(cfg)
     map_cfg = MapConfig(explicit=True)
     t0 = time.time()
-    traj = apply_map(sgp, None, jnp.asarray(q0), jnp.asarray(p0), cfg.nm,
-                     map_cfg)
+    if backend == "pallas":
+        from sympgpr_tpu.maps.symplectic import Trajectory
+        from sympgpr_tpu.ops import pallas_step as psk
+
+        # sum kernel -> Algorithm-2 explicit update inside the kernel
+        Qt, Pt = psk.rollout_pallas(sgp, None, q0, p0, cfg.nm,
+                                    mod_q=map_cfg.mod_q,
+                                    deployment_jitter=1e-5)
+        traj = Trajectory(Qt, Pt, None)
+    else:
+        traj = apply_map(sgp, None, jnp.asarray(q0), jnp.asarray(p0),
+                         cfg.nm, map_cfg)
     traj.q.block_until_ready()
     t_apply = time.time() - t0
 

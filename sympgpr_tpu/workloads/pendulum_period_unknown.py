@@ -26,7 +26,8 @@ def config() -> sys_pend.PendulumConfig:
     return sys_pend.PendulumConfig(N=50, Nm=100, sig2_n=1e-10)
 
 
-def run(cfg: sys_pend.PendulumConfig | None = None) -> dict[str, Any]:
+def run(cfg: sys_pend.PendulumConfig | None = None,
+        backend: str = "generic") -> dict[str, Any]:
     cfg = cfg or config()
     from sympgpr_tpu.devices import host_fit, to_default_device
 
@@ -54,8 +55,18 @@ def run(cfg: sys_pend.PendulumConfig | None = None) -> dict[str, Any]:
 
     q0, p0 = sys_pend.test_initial_conditions(cfg)
     t0 = time.time()
-    traj = apply_map(sgp, aux, jnp.asarray(q0), jnp.asarray(p0), cfg.nm,
-                     MapConfig(newton_tol=1e-12, newton_maxiter=10))
+    if backend == "pallas":
+        from sympgpr_tpu.maps.symplectic import Trajectory
+        from sympgpr_tpu.ops import pallas_step as psk
+
+        # per_se_freq kernel: the learned frequency rides the scal row
+        Qt, Pt = psk.rollout_pallas(sgp, aux, q0, p0, cfg.nm,
+                                    mod_q=2 * np.pi, iters=8,
+                                    deployment_jitter=1e-5)
+        traj = Trajectory(Qt, Pt, None)
+    else:
+        traj = apply_map(sgp, aux, jnp.asarray(q0), jnp.asarray(p0), cfg.nm,
+                         MapConfig(newton_tol=1e-12, newton_maxiter=10))
     traj.q.block_until_ready()
     t_apply = time.time() - t0
 

@@ -24,7 +24,10 @@ from sympgpr_tpu.systems import standard_map as sys_map
 def run(
     cfg: sys_map.StandardMapConfig = sys_map.StandardMapConfig(),
     method: str = "implicit",
+    backend: str = "generic",
 ) -> dict[str, Any]:
+    """backend: 'generic' (f64-capable lax.scan path) or 'pallas' (fused
+    f32 whole-rollout kernel with in-kernel momentum wrap + pdiff)."""
     from sympgpr_tpu.devices import host_fit, to_default_device
 
     with host_fit():  # f64 data-gen + small-N fits belong on the host
@@ -67,8 +70,19 @@ def run(
 
     q0, p0 = sys_map.test_initial_conditions(cfg)
     t0 = time.time()
-    traj = apply_map(sgp, aux, jnp.asarray(q0), jnp.asarray(p0), cfg.nm,
-                     map_cfg)
+    if backend == "pallas":
+        from sympgpr_tpu.maps.symplectic import Trajectory
+        from sympgpr_tpu.ops import pallas_step as psk
+
+        Qt, Pt, Dt = psk.rollout_pallas(
+            sgp, aux, q0, p0, cfg.nm, mod_q=map_cfg.mod_q,
+            mod_p=map_cfg.mod_p, track_pdiff=True, iters=8,
+            deployment_jitter=1e-5,
+        )
+        traj = Trajectory(Qt, Pt, Dt)
+    else:
+        traj = apply_map(sgp, aux, jnp.asarray(q0), jnp.asarray(p0), cfg.nm,
+                         map_cfg)
     traj.q.block_until_ready()
     t_apply = time.time() - t0
 

@@ -106,14 +106,17 @@ def run(
     P0 = jnp.asarray(pth0) * cfg.momentum_scale
 
     t0 = time.time()
-    if M == 1 and backend == "pallas":
+    if backend == "pallas":
         from sympgpr_tpu.maps.symplectic import Trajectory
         from sympgpr_tpu.ops import pallas_step as psk
 
         # f32 conditioning + packing + padding + x64-off kernel trace all
-        # handled by the model-level entry (DESIGN.md section 4)
-        Qt, Pt = psk.rollout_pallas(sgps[0], auxes[0], Q0, P0, nm,
-                                    mod_q=2 * np.pi, loss_check=True)
+        # handled by the model-level entry (DESIGN.md section 4).  The Split
+        # driver cycles the M sub-maps inside the kernel and checks the loss
+        # boundary at the new angle (Split_SympGPR/func.py applymap_tok).
+        Qt, Pt = psk.rollout_pallas(sgps, auxes, Q0, P0, nm,
+                                    mod_q=2 * np.pi, loss_check=True,
+                                    loss_at_new_q=(M > 1))
         traj = Trajectory(Qt, Pt, None)
     elif M == 1:
         map_cfg = MapConfig(newton_tol=1e-12, newton_maxiter=20)

@@ -1,23 +1,25 @@
-"""Pallas fused map-step/rollout kernels vs the XLA fast path.
+"""Pallas fused rollout kernel vs the XLA fast path, all kernel modes.
 
 Runs in interpreter mode on CPU (the driver/TPU runs them compiled).  All
-comparisons are at step horizon 1-2 where f32 summation-order noise has not
+comparisons are at step horizon 1-4 where f32 summation-order noise has not
 been amplified by chaotic divergence; statistical agreement over longer
 horizons is asserted via finiteness/energy, not trajectories.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from sympgpr_tpu.gp.model import AuxGP, SympGP
-from sympgpr_tpu.kernels import PER_SE, SE_SE
+from sympgpr_tpu.kernels import PER_SE, PER_SE_FREQ, SE_SE, SUM_PER_SE
 from sympgpr_tpu.maps import fast_apply as fa
+from sympgpr_tpu.maps.symplectic import MapConfig
 from sympgpr_tpu.ops import pallas_step as ps
 
+B = ps.LANE_TILE
 
-def f32_models(kernel, n=20, seed=0):
+
+def f32_models(kernel, n=20, seed=0, aux_kernel=None, delta=True):
     """Well-conditioned f32 toy models: smooth targets + healthy jitter so
     |alpha| stays O(1) and f32 summation noise stays ~1e-6 (random targets
     with tiny jitter give |alpha| ~ 1e4 and meaningless f32 comparisons)."""
@@ -29,82 +31,169 @@ def f32_models(kernel, n=20, seed=0):
         np.concatenate([0.1 * np.sin(q) * P, 0.1 * np.cos(q) + 0.05 * P]),
         jnp.float32,
     )
-    params = jnp.asarray([0.9, 1.2], jnp.float32)
+    nk = kernel.n_params
+    params = jnp.asarray([0.9, 1.2, 0.55][:nk], jnp.float32)
     sgp = SympGP.create(kernel, params, 1.5, 1e-2, X, z)
+    ak = aux_kernel or kernel
     p = rng.uniform(-1, 1, n)
     Xp = jnp.asarray(np.stack([q, p], 1), jnp.float32)
     zp = jnp.asarray(0.1 * np.sin(q) * p, jnp.float32)
-    aux = AuxGP.create(kernel, params, 1.5, 1e-2, Xp, zp, delta=True)
+    aparams = jnp.asarray([0.9, 1.2, 0.55][: ak.n_params], jnp.float32)
+    aux = AuxGP.create(ak, aparams, 1.5, 1e-2, Xp, zp, delta=delta)
     return sgp, aux
 
 
-@pytest.mark.parametrize("kernel", [PER_SE, SE_SE], ids=lambda k: k.name)
-def test_fused_step_matches_fast_path(kernel):
+def ics(seed=1, b=B):
+    rng = np.random.default_rng(seed)
+    q0 = jnp.asarray(rng.uniform(0, 2 * np.pi, b), jnp.float32)
+    p0 = jnp.asarray(rng.uniform(-0.5, 0.5, b), jnp.float32)
+    return q0, p0
+
+
+def fast_ref(sgp, aux, q0, p0, nm, iters=5, **cfg_kw):
+    """fast_apply trajectory with the kernel's fixed-iteration Newton."""
+    cfg = MapConfig(newton_tol=1e-6, newton_maxiter=iters, **cfg_kw)
+    return fa.apply_map_fast(sgp, aux, q0, p0, nm, cfg, fixed_iters=True)
+
+
+@pytest.mark.parametrize("kernel", [PER_SE, SE_SE, PER_SE_FREQ],
+                         ids=lambda k: k.name)
+def test_rollout_one_step_matches_fast_path(kernel):
+    """Implicit product kernels: step 1 must match fast_apply closely."""
     sgp, aux = f32_models(kernel)
     pm = ps.pack_models(sgp, aux, mod_q=None)
-    B = ps.TILE_B
-    rng = np.random.default_rng(1)
-    q = jnp.asarray(rng.uniform(0, 2 * np.pi, B), jnp.float32)
-    p = jnp.asarray(rng.uniform(-0.5, 0.5, B), jnp.float32)
-    Q, P = ps.fused_map_step(pm, q, p, iters=8, interpret=True)
-
-    co = fa.precompute_step(sgp, q)
-    P0 = fa.aux_guess(aux, q, p)
-    P_ref = fa.newton_P(co, p, P0, 1e-6, 8, True)
-    Q_ref = q + fa.q_update(co, P_ref)
-    # single step, well-conditioned toy model: f32 ordering noise only
-    np.testing.assert_allclose(np.asarray(P), np.asarray(P_ref), atol=2e-5)
-    np.testing.assert_allclose(np.asarray(Q), np.asarray(Q_ref), atol=2e-5)
+    q0, p0 = ics()
+    Q, P = ps.rollout_in_kernel(pm, q0, p0, 2, iters=8, interpret=True)
+    ref = fast_ref(sgp, aux, q0, p0, 2, iters=8, mod_q=None)
+    np.testing.assert_allclose(np.asarray(P[1]), np.asarray(ref.p[1]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Q[1]), np.asarray(ref.q[1]),
+                               atol=2e-5)
 
 
-def test_rollout_in_kernel_matches_stepwise():
+def test_rollout_multi_step_matches_fast_path():
     sgp, aux = f32_models(PER_SE)
     pm = ps.pack_models(sgp, aux, mod_q=2 * np.pi)
-    B, nm = ps.LANE_TILE, 4
-    rng = np.random.default_rng(2)
-    q0 = jnp.asarray(rng.uniform(0, 2 * np.pi, B), jnp.float32)
-    p0 = jnp.asarray(rng.uniform(-0.5, 0.5, B), jnp.float32)
+    q0, p0 = ics(2)
+    nm = 4
     Q, P = ps.rollout_in_kernel(pm, q0, p0, nm, interpret=True)
     assert Q.shape == (nm, B)
     np.testing.assert_allclose(np.asarray(Q[0]), np.asarray(q0))
+    ref = fast_ref(sgp, aux, q0, p0, nm, mod_q=2 * np.pi)
+    for i in range(1, nm):
+        np.testing.assert_allclose(np.asarray(P[i]), np.asarray(ref.p[i]),
+                                   atol=5e-4)
+
+
+def test_rollout_explicit_product_matches_calc_P_explicit():
+    """Explicit product update: P = p - pGP(q, p), no Newton, no aux."""
+    sgp, aux = f32_models(PER_SE, seed=7)
+    pm = ps.pack_models(sgp, aux, mod_q=2 * np.pi)
+    q0, p0 = ics(7)
+    Q, P = ps.rollout_in_kernel(pm, q0, p0, 2, explicit=True,
+                                interpret=True)
+    ref = fast_ref(sgp, aux, q0, p0, 2, explicit=True, mod_q=2 * np.pi)
+    np.testing.assert_allclose(np.asarray(P[1]), np.asarray(ref.p[1]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Q[1]), np.asarray(ref.q[1]),
+                               atol=2e-5)
+
+
+def test_rollout_sum_kernel_algorithm2():
+    """Separable sum kernel: Algorithm-2 explicit map, aux-free."""
+    sgp, _ = f32_models(SUM_PER_SE, seed=4)
+    pm = ps.pack_models(sgp, None, mod_q=2 * np.pi)
+    assert pm.kind == 3
+    q0, p0 = ics(4)
+    nm = 3
+    Q, P = ps.rollout_in_kernel(pm, q0, p0, nm, interpret=True)
+    ref = fast_ref(sgp, None, q0, p0, nm, explicit=True, mod_q=2 * np.pi)
+    for i in range(1, nm):
+        np.testing.assert_allclose(np.asarray(P[i]), np.asarray(ref.p[i]),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(Q[i]), np.asarray(ref.q[i]),
+                                   atol=5e-5)
+
+
+def test_rollout_mod_p_and_pdiff():
+    """Standard-map style: momentum wrap + unwrapped pdiff tracking."""
+    sgp, aux = f32_models(PER_SE, seed=8)
+    mod_p = 2 * np.pi
+    pm = ps.pack_models(sgp, aux, mod_q=2 * np.pi, mod_p=mod_p)
+    q0, p0 = ics(8)
+    nm = 4
+    Q, P, D = ps.rollout_in_kernel(pm, q0, p0, nm, track_pdiff=True,
+                                   interpret=True)
+    ref = fast_ref(sgp, aux, q0, p0, nm, mod_q=2 * np.pi, mod_p=mod_p,
+                   track_pdiff=True)
+    assert np.all(np.asarray(P[1:]) >= 0)  # wrapped into [0, 2pi)
+    assert np.all(np.asarray(P[1:]) < mod_p)
+    for i in range(1, nm):
+        np.testing.assert_allclose(np.asarray(P[i]), np.asarray(ref.p[i]),
+                                   atol=5e-4)
+        np.testing.assert_allclose(np.asarray(D[i]),
+                                   np.asarray(ref.pdiff[i]), atol=5e-4)
+
+
+def test_rollout_split_cycles_submaps():
+    """Split multi-map: step i must use sub-map i % M (manual alternation
+    of the fast path is the ground truth)."""
+    sgp0, aux0 = f32_models(PER_SE, seed=10)
+    sgp1, aux1 = f32_models(PER_SE, n=12, seed=11)
+    pm = ps.pack_models_split([sgp0, sgp1], [aux0, aux1], mod_q=2 * np.pi)
+    assert pm.n_maps == 2
+    q0, p0 = ics(10)
+    nm = 5
+    Q, P = ps.rollout_in_kernel(pm, q0, p0, nm, interpret=True)
 
     q, p = q0, p0
-    pad = jnp.zeros(ps.TILE_B - B, jnp.float32)
     for i in range(1, nm):
-        qq = jnp.concatenate([q, pad])
-        pp = jnp.concatenate([p, pad])
-        Qs, Ps = ps.fused_map_step(pm, qq, pp, iters=5, interpret=True)
-        q = jnp.mod(Qs[:B], 2 * np.pi)
-        p = Ps[:B]
+        s, a = (sgp0, aux0) if (i - 1) % 2 == 0 else (sgp1, aux1)
+        ref = fast_ref(s, a, q, p, 2, mod_q=2 * np.pi)
+        q, p = ref.q[1], ref.p[1]
         np.testing.assert_allclose(np.asarray(P[i]), np.asarray(p),
-                                   atol=5e-4)
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(Q[i]), np.asarray(q),
+                                   atol=1e-3)
+
+
+def test_mxu_reduce_matches_vpu_reduce():
+    """The (1,N)x(N,128) dot formulation of the train reductions must
+    reproduce the VPU cross-sublane sums (accumulation-order noise only)."""
+    sgp, aux = f32_models(PER_SE, seed=9)
+    pm = ps.pack_models(sgp, aux, mod_q=2 * np.pi)
+    q0, p0 = ics(9)
+    Q1, P1 = ps.rollout_in_kernel(pm, q0, p0, 3, interpret=True)
+    Q2, P2 = ps.rollout_in_kernel(pm, q0, p0, 3, mxu_reduce=True,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(P1), np.asarray(P2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Q1), np.asarray(Q2), atol=1e-4)
 
 
 def test_rollout_in_kernel_loss_check_poisons():
     """Loss boundary: orbits pushed far out must be NaN-poisoned."""
     sgp, aux = f32_models(PER_SE, seed=3)
     pm = ps.pack_models(sgp, aux, mod_q=2 * np.pi)
-    B = ps.LANE_TILE
-    rng = np.random.default_rng(3)
-    q0 = jnp.asarray(rng.uniform(0, 2 * np.pi, B), jnp.float32)
+    q0, _ = ics(3)
     # p ~ -0.5: P < 0 triggers the loss predicate immediately
     p0 = jnp.asarray(np.full(B, -0.5), jnp.float32)
     Q, P = ps.rollout_in_kernel(pm, q0, p0, 3, loss_check=True,
                                 interpret=True)
     assert np.isnan(np.asarray(P[1])).all()
     assert np.isnan(np.asarray(Q[2])).all()
+    # Split-style check at the new angle poisons too
+    Q2, P2 = ps.rollout_in_kernel(pm, q0, p0, 3, loss_check=True,
+                                  loss_at_new_q=True, interpret=True)
+    assert np.isnan(np.asarray(P2[1])).all()
 
 
 def test_pack_models_padding_is_inert():
-    """Padded training lanes (zero alpha) must not change results."""
+    """Padded training sublanes (zero alpha) must not change results."""
     sgp, aux = f32_models(PER_SE, n=20)
     pm = ps.pack_models(sgp, aux, mod_q=None)
-    assert pm.uq.shape[1] == 128  # padded 20 -> 128
-    B = ps.TILE_B
-    rng = np.random.default_rng(4)
-    q = jnp.asarray(rng.uniform(0, 2 * np.pi, B), jnp.float32)
-    p = jnp.asarray(rng.uniform(-0.5, 0.5, B), jnp.float32)
-    Q, P = ps.fused_map_step(pm, q, p, interpret=True)
+    assert pm.uq.shape == (24, 1)  # padded 20 -> 24 sublanes
+    q0, p0 = ics(4)
+    Q, P = ps.rollout_in_kernel(pm, q0, p0, 2, interpret=True)
     assert np.isfinite(np.asarray(Q)).all()
     assert np.isfinite(np.asarray(P)).all()
 
@@ -112,15 +201,39 @@ def test_pack_models_padding_is_inert():
 def test_rollout_chunked_matches_single_call():
     """Chunked long rollout must be bitwise-identical to one kernel call
     (the carry is exactly the last emitted row, so the op sequence per
-    step is unchanged)."""
+    step is unchanged); pdiff offsets must chain across chunks."""
     sgp, aux = f32_models(PER_SE, seed=5)
-    pm = ps.pack_models(sgp, aux, mod_q=2 * np.pi)
-    B, nm = ps.LANE_TILE, 11
-    rng = np.random.default_rng(5)
-    q0 = jnp.asarray(rng.uniform(0, 2 * np.pi, B), jnp.float32)
-    p0 = jnp.asarray(rng.uniform(-0.5, 0.5, B), jnp.float32)
-    Q1, P1 = ps.rollout_in_kernel(pm, q0, p0, nm, interpret=True)
-    Q2, P2 = ps.rollout_chunked(pm, q0, p0, nm, interpret=True, chunk=4)
+    pm = ps.pack_models(sgp, aux, mod_q=2 * np.pi, mod_p=2 * np.pi)
+    q0, p0 = ics(5)
+    nm = 11
+    Q1, P1, D1 = ps.rollout_in_kernel(pm, q0, p0, nm, track_pdiff=True,
+                                      interpret=True)
+    Q2, P2, D2 = ps.rollout_chunked(pm, q0, p0, nm, track_pdiff=True,
+                                    interpret=True, chunk=4)
     assert Q2.shape == (nm, B)
     np.testing.assert_array_equal(np.asarray(Q1), np.asarray(Q2))
     np.testing.assert_array_equal(np.asarray(P1), np.asarray(P2))
+    np.testing.assert_allclose(np.asarray(D1), np.asarray(D2), atol=1e-6)
+
+
+def test_rollout_chunked_split_preserves_phase():
+    """Chunk boundaries must not reset the i % n_maps sub-map phase."""
+    sgp0, aux0 = f32_models(PER_SE, seed=12)
+    sgp1, aux1 = f32_models(PER_SE, n=12, seed=13)
+    pm = ps.pack_models_split([sgp0, sgp1], [aux0, aux1], mod_q=2 * np.pi)
+    q0, p0 = ics(12)
+    nm = 9
+    Q1, P1 = ps.rollout_in_kernel(pm, q0, p0, nm, interpret=True)
+    Q2, P2 = ps.rollout_chunked(pm, q0, p0, nm, interpret=True, chunk=4)
+    np.testing.assert_array_equal(np.asarray(Q1), np.asarray(Q2))
+    np.testing.assert_array_equal(np.asarray(P1), np.asarray(P2))
+
+
+def test_rollout_pallas_model_level_entry():
+    """End-to-end wrapper: padding, f32 conditioning, un-padding."""
+    sgp, aux = f32_models(PER_SE, seed=6)
+    q0, p0 = ics(6, b=40)  # deliberately not a multiple of 128
+    Q, P = ps.rollout_pallas(sgp, aux, q0, p0, 5, mod_q=2 * np.pi,
+                             deployment_jitter=None)
+    assert Q.shape == (5, 40)
+    assert np.isfinite(np.asarray(Q)).all()

@@ -109,3 +109,44 @@ def test_henon_pallas_backend():
     out = henon_heiles.run(HenonConfig(Ntest=10), nm=20, backend="pallas")
     assert out["training_error"] < 1e-12
     assert out["one_step_mse"] < 2e-3  # scaled coords, f32 path
+
+
+def test_standard_map_pallas_backend():
+    """Fused implicit map with in-kernel mod_p wrap + pdiff tracking."""
+    out = standard_map.run(StandardMapConfig(nm=20), method="implicit",
+                           backend="pallas")
+    assert out["one_step_mse"] < 1e-4  # f32 + deployment conditioning
+    assert out["traj"].pdiff is not None
+    p = np.asarray(out["traj"].p[1:])
+    assert np.nanmin(p) >= 0 and np.nanmax(p) < 2 * np.pi
+
+
+def test_standard_map_explicit_pallas_backend():
+    """Sum kernel -> Algorithm-2 explicit update inside the kernel."""
+    out = standard_map.run(StandardMapConfig(nm=20), method="explicit",
+                           backend="pallas")
+    assert out["one_step_mse"] < 1e-5  # f32 + 1e-5 deployment conditioning
+
+
+def test_pendulum_explicit_pallas_backend():
+    out = pendulum_explicit.run(
+        PendulumConfig(Nm=70, sig2_n=1e-10, nm=30), backend="pallas")
+    assert np.nanmean(out["Eosc"]) < 0.2
+
+
+def test_pendulum_period_unknown_pallas_backend():
+    """per_se_freq kernel (learned frequency) in the fused kernel."""
+    out = pendulum_period_unknown.run(
+        PendulumConfig(N=50, Nm=100, sig2_n=1e-10, nm=30), backend="pallas")
+    ratio = out["period_ratio"]
+    assert abs(ratio - round(ratio)) < 0.15 and 0.5 <= ratio <= 4.5
+    assert np.nanmean(out["Eosc"]) < 2e-2
+
+
+@pytest.mark.slow
+def test_tokamak_split_pallas_backend():
+    """Split multi-map cycling inside the kernel, loss at the new angle."""
+    cfg = TokamakConfig(N=40, nphmap=4, nph=100, r_scale=0.38,
+                        qminmap=0.16, qmaxmap=0.31)
+    out = tokamak.run(cfg, nm=40, backend="pallas")
+    assert np.nanmedian(out["gd"]) < 2e-2
