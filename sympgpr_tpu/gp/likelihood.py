@@ -116,6 +116,103 @@ def nll_separable(
     return _nll_from_Ky(Ky, z_block)
 
 
+def _device_eye(n: int, dt) -> Array:
+    """Identity built on device from iota.
+
+    ``jnp.eye(n)`` inside a jit becomes an (n, n) *constant* — at n=8192
+    that is a 268 MB literal shipped through the compile RPC on tunneled
+    backends (measured: it overflows the request size limit outright).
+    """
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (r == c).astype(dt)
+
+
+def nll_value_and_grad(
+    kernel: Kernel,
+    params: Array,
+    sig: Array,
+    sig2n: Array,
+    X: Array,
+    z: Array,
+    *,
+    precision: str = "float32",
+) -> tuple[Array, Array, Array]:
+    """(nll, d nll/d params, d nll/d sig) without autodiff through Cholesky.
+
+    Reverse mode through ``jnp.linalg.cholesky`` + ``cho_solve`` costs two
+    XLA n-rhs triangular solves that run at ~13 TF/s on this backend —
+    137 ms of the 145 ms N=4096 training step (BENCH_r02, VERDICT round-2
+    item 1).  This path uses the closed-form gradient the reference also
+    uses (Rasmussen 5.9, ``python/functions/func.py:148-162``):
+
+        d nll/d theta = <0.5 (Ky^{-1} - alpha alpha^T), dK/d theta>
+
+    with Ky^{-1} assembled from MXU matmuls (blocked triangular inverse +
+    Pallas syrk, ``linalg/triangular.py``) and the contraction fused into
+    one Pallas tile pass that re-derives dK via ``jax.grad`` of the
+    forward tile closure (``ops/pallas_cov.py::cov_param_grads``) — no dK
+    matrices in HBM, unlike the reference's three ``build_dK`` buffers.
+
+    Exactness: identical math to ``jax.value_and_grad(nll)`` (parity-tested
+    in float64); in float32 both paths carry summation-order noise.
+    ``sig2n`` is treated as fixed (the reference never optimizes it).
+    """
+    from sympgpr_tpu.ops import pallas_cov
+
+    on_pallas = pallas_cov.want_pallas_build(kernel, X)
+    if on_pallas:
+        K = pallas_cov.build_K_pallas(kernel, X, X, params, sig)
+    else:
+        K = build_K_fast(kernel, X, X, params, sig)
+    n = K.shape[0]
+    Ky = K + jnp.abs(sig2n) * _device_eye(n, K.dtype)
+    L = jnp.linalg.cholesky(Ky)
+    alpha = jax.scipy.linalg.cho_solve((L, True), z)
+    val = 0.5 * z @ alpha + jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    if jax.default_backend() == "cpu":
+        Kyinv = jax.scipy.linalg.cho_solve((L, True), _device_eye(n, K.dtype))
+    else:
+        from sympgpr_tpu.linalg.triangular import spd_inverse_from_chol
+
+        Kyinv = spd_inverse_from_chol(L, precision=precision)
+    Kbar = 0.5 * Kyinv - 0.5 * alpha[:, None] * alpha[None, :]
+
+    if on_pallas:
+        dparams, dsig = pallas_cov.cov_param_grads(
+            kernel.name, X, X, params, sig, Kbar)
+    else:
+        _, vjp = jax.vjp(
+            lambda p, s: build_K_fast(kernel, X, X, p, s), params, sig)
+        dparams, dsig = vjp(Kbar)
+    return val, dparams, dsig
+
+
+def nll_value_and_grad_theta(
+    kernel: Kernel,
+    theta: Array,
+    sig2n: Array,
+    X: Array,
+    z: Array,
+    *,
+    precision: str = "float32",
+) -> tuple[Array, Array]:
+    """(value, grad) of theta -> nll(10**theta), closed-form gradient.
+
+    theta = log10 (lengthscales..., sig) — the convention of every
+    optimizer driver in ``gp/train.py``.
+    """
+    hyp = 10.0 ** theta
+    params, sig = hyp[:-1], hyp[-1]
+    val, dparams, dsig = nll_value_and_grad(
+        kernel, params, sig, sig2n, X, z, precision=precision)
+    ln10 = jnp.asarray(np.log(10.0), theta.dtype)
+    dtheta = jnp.concatenate(
+        [dparams * params, jnp.reshape(dsig * sig, (1,))]) * ln10
+    return val, dtheta
+
+
 def chol_and_alpha(
     Ky: Array, z: Array, max_jitter_tries: int = 6
 ) -> tuple[Array, Array]:

@@ -54,22 +54,17 @@ PRODUCT_KINDS = ("per_se", "se_se", "per_se_freq")
 TILE = 256  # (TILE, TILE) f32 tile = 256 KB/block output, 3 blocks in VMEM
 
 
-def _cov_tile(scal_ref, qr_ref, Pr_ref, qc_ref, Pc_ref,
-              kxx_ref, kxy_ref, kyy_ref, *, kind: int):
-    """One (TILE, TILE) tile of all derivative blocks, shared factors."""
-    lx = scal_ref[0]
-    ly = scal_ref[1]
-    sig = scal_ref[2]
-    f = scal_ref[3]  # periodic frequency (0.5 for per_se; unused for se_se)
+def _tile_blocks(kind: int, dq, dP, lx, ly, sig, f):
+    """(kxx, kxy, kyy) derivative blocks from shared factors.
 
-    dq = qr_ref[:] - qc_ref[:]  # (TILE, 1) - (1, TILE) -> (TILE, TILE)
-    dP = Pr_ref[:] - Pc_ref[:]
-
+    Shared by the forward tile and — through ``jax.grad`` at kernel trace
+    time — the backward contraction tile, so the two can never drift.
+    """
     i2 = 0.5 / (lx * lx)
     if kind == 1:  # squared exponential: s = dq^2/(2lx^2)
         s = dq * dq * i2
         sp = 2.0 * dq * i2
-        spp = jnp.full_like(dq, 2.0 * i2)
+        spp = jnp.full_like(dq, 1.0) * (2.0 * i2)
     else:  # periodic: s = sin^2(f dq)/(2lx^2); per_se is f = 1/2
         sh = jnp.sin(f * dq)
         ch = jnp.cos(f * dq)
@@ -83,14 +78,23 @@ def _cov_tile(scal_ref, qr_ref, Pr_ref, qc_ref, Pc_ref,
     if kind == 3:  # separable sum: no cross factor, mixed block vanishes
         A = sig * jnp.exp(-s)
         B = sig * jnp.exp(-t)
-        kxx_ref[:] = (spp - sp * sp) * A
-        kxy_ref[:] = jnp.zeros_like(dq)
-        kyy_ref[:] = (ily2 - dP * dP * ily2 * ily2) * B
-    else:
-        AB = sig * jnp.exp(-(s + t))  # ONE exp for both factors
-        kxx_ref[:] = (spp - sp * sp) * AB
-        kxy_ref[:] = -sp * dP * ily2 * AB
-        kyy_ref[:] = (ily2 - dP * dP * ily2 * ily2) * AB
+        return ((spp - sp * sp) * A, jnp.zeros_like(dq),
+                (ily2 - dP * dP * ily2 * ily2) * B)
+    AB = sig * jnp.exp(-(s + t))  # ONE exp for both factors
+    return ((spp - sp * sp) * AB, -sp * dP * ily2 * AB,
+            (ily2 - dP * dP * ily2 * ily2) * AB)
+
+
+def _cov_tile(scal_ref, qr_ref, Pr_ref, qc_ref, Pc_ref,
+              kxx_ref, kxy_ref, kyy_ref, *, kind: int):
+    """One (TILE, TILE) tile of all derivative blocks, shared factors."""
+    dq = qr_ref[:] - qc_ref[:]  # (TILE, 1) - (1, TILE) -> (TILE, TILE)
+    dP = Pr_ref[:] - Pc_ref[:]
+    kxx, kxy, kyy = _tile_blocks(
+        kind, dq, dP, scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3])
+    kxx_ref[:] = kxx
+    kxy_ref[:] = kxy
+    kyy_ref[:] = kyy
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "tile", "interpret"))
@@ -169,16 +173,118 @@ def _build_fwd(kernel, X, X0, params, sig):
     return build_K_pallas(kernel, X, X0, params, sig), (X, X0, params, sig)
 
 
-def _build_bwd(kernel, res, Kbar):
-    # Backward = autodiff VJP of the closed-form XLA build: exact, O(N^2)
-    # like the forward, and keeps the Pallas kernel gradient-free.
-    from sympgpr_tpu.gp.covariance import build_K_fast
+# --- closed-form hyperparameter-gradient contraction -----------------------
+#
+# The backward of the builder is the contraction <Kbar, dK/dtheta> for the
+# O(1) scalars theta = (lx, ly, sig[, freq]).  The reference assembles three
+# full dK matrices and traces them (``python/functions/func.py:148-162``);
+# here ONE tile pass re-derives the blocks via jax.grad *of the same
+# _tile_blocks closure the forward uses* and reduces the contraction
+# in-register — no dK matrices ever touch HBM, and the derivative algebra
+# cannot drift from the forward.
 
+
+def _cov_bwd_tile(scal_ref, qr_ref, Pr_ref, qc_ref, Pc_ref,
+                  gxx_ref, gxy_ref, gyy_ref, acc_ref, *, kind: int):
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    dq = qr_ref[:] - qc_ref[:]
+    dP = Pr_ref[:] - Pc_ref[:]
+    gxx = gxx_ref[:]
+    gxy = gxy_ref[:]
+    gyy = gyy_ref[:]
+
+    def contract(lx, ly, sig, f):
+        kxx, kxy, kyy = _tile_blocks(kind, dq, dP, lx, ly, sig, f)
+        return jnp.sum(gxx * kxx + gxy * kxy + gyy * kyy)
+
+    g = jax.grad(contract, argnums=(0, 1, 2, 3))(
+        scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3])
+    r = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 1)
+    part = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+    for i, gi in enumerate(g):
+        part = part + jnp.where((r == 0) & (c == i), gi, 0.0)
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] = acc_ref[:] + part
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "tile", "interpret"))
+def _bwd_call(scal, qr, Pr, qc, Pc, gxx, gxy, gyy, kind, tile, interpret):
+    n_pad, n0_pad = qr.shape[0], qc.shape[1]
+    kernel = functools.partial(_cov_bwd_tile, kind=kind)
+    row = pl.BlockSpec((tile, 1), lambda i, j: (i, 0),
+                       memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((1, tile), lambda i, j: (0, j),
+                       memory_space=pltpu.VMEM)
+    g = pl.BlockSpec((tile, tile), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM)
+    acc = pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_pad // tile, n0_pad // tile),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  row, row, col, col, g, g, g],
+        out_specs=acc,
+        out_shape=jax.ShapeDtypeStruct((8, 128), qr.dtype),
+        interpret=interpret,
+    )(scal, qr, Pr, qc, Pc, gxx, gxy, gyy)
+
+
+def cov_param_grads(kernel_name: str, X: Array, X0: Array, params: Array,
+                    sig: Array, Kbar: Array, *, tile: int = TILE,
+                    interpret: bool | None = None):
+    """(dparams, dsig) = <Kbar, dK/dtheta> for the (2N, 2N0) build.
+
+    Kbar is the cotangent of ``build_K_pallas``'s output (any symmetric or
+    asymmetric (2N, 2N0) array).  The two mixed blocks multiply the same
+    kernel value, so their cotangents are summed before the tile pass.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    kind = KINDS[kernel_name]
+    N, N0 = X.shape[0], X0.shape[0]
+    n_pad = -(-N // tile) * tile
+    n0_pad = -(-N0 // tile) * tile
+    dt = X.dtype
+    freq = params[2] if kernel_name == "per_se_freq" else jnp.asarray(0.5, dt)
+    scal = jnp.stack([
+        jnp.asarray(params[0], dt), jnp.asarray(params[1], dt),
+        jnp.asarray(sig, dt), jnp.asarray(freq, dt),
+    ])
+    qr = _pad_to(X[:, 0:1], n_pad, 0)
+    Pr = _pad_to(X[:, 1:2], n_pad, 0)
+    qc = _pad_to(X0[:, 0:1].T, n0_pad, 1)
+    Pc = _pad_to(X0[:, 1:2].T, n0_pad, 1)
+
+    def padg(b):  # zero-padded cotangents kill the padded-pair garbage
+        return _pad_to(_pad_to(b, n_pad, 0), n0_pad, 1)
+
+    gxx = padg(Kbar[:N, :N0])
+    gxy = padg(Kbar[:N, N0:] + Kbar[N:, :N0])
+    gyy = padg(Kbar[N:, N0:])
+    acc = _bwd_call(scal, qr, Pr, qc, Pc, gxx, gxy, gyy, kind, tile,
+                    interpret)
+    dlx, dly, dsig, dfreq = acc[0, 0], acc[0, 1], acc[0, 2], acc[0, 3]
+    if kernel_name == "per_se_freq":
+        dparams = jnp.stack([dlx, dly, dfreq])
+    else:
+        dparams = jnp.stack([dlx, dly])
+    if params.shape[0] > dparams.shape[0]:  # unused trailing params
+        dparams = jnp.concatenate(
+            [dparams, jnp.zeros(params.shape[0] - dparams.shape[0], dt)])
+    return dparams.astype(params.dtype), dsig.astype(dt)
+
+
+def _build_bwd(kernel, res, Kbar):
     X, X0, params, sig = res
-    _, vjp = jax.vjp(
-        lambda p, s: build_K_fast(kernel, X, X0, p, s), params, sig)
-    dparams, dsig = vjp(Kbar)
-    return jnp.zeros_like(X), jnp.zeros_like(X0), dparams, dsig
+    dparams, dsig = cov_param_grads(kernel.name, X, X0, params, sig, Kbar)
+    return (jnp.zeros_like(X), jnp.zeros_like(X0), dparams,
+            jnp.asarray(dsig, jnp.asarray(sig).dtype))
 
 
 build_K_pallas.defvjp(_build_fwd, _build_bwd)

@@ -130,15 +130,43 @@ def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
 
     t_nll = _timed_scan(lambda c, p: nll_of(chain(p, c)), (p0,), reps)
 
-    # --- one training step: value_and_grad through builder VJP + chol VJP
-    vg = jax.value_and_grad(lambda th: nll_of(10.0 ** th))
+    # --- one training step: closed-form gradient (Rasmussen 5.9 via the
+    # blocked triangular inverse + Pallas syrk + Pallas dK contraction;
+    # gp/likelihood.py::nll_value_and_grad) — the round-3 fix for the 7.3x
+    # autodiff step of BENCH_r02
+    from sympgpr_tpu.gp.likelihood import nll_value_and_grad_theta
+
+    theta_full0 = jnp.concatenate([jnp.log10(p0),
+                                   jnp.log10(sig)[None]]).astype(dtype)
+
+    def vg(th):
+        return nll_value_and_grad_theta(PER_SE, th, s2n, X, z)
 
     def step_once(c, th):
         v, g = vg(th + 1e-30 * c)
         return v + jnp.sum(g) * 1e-30
 
-    theta0 = jnp.log10(p0)
-    t_step = _timed_scan(step_once, (theta0,), max(2, reps // 2))
+    t_step = _timed_scan(step_once, (theta_full0,), max(2, reps // 2))
+
+    # --- the autodiff step (builder custom VJP + Cholesky VJP), kept as
+    # the comparison number the closed-form path is judged against.
+    # K is linear in sig, so sig gradients flow through the scalar factor
+    # even though `build` closes over the fixed base sig.
+    def _nll_theta(th):
+        hyp = 10.0 ** th
+        K = build(hyp[:-1]) * (hyp[-1] / sig)
+        Ky = K + s2n * jnp.eye(n, dtype=dtype)
+        L = jnp.linalg.cholesky(Ky)
+        alpha = jax.scipy.linalg.cho_solve((L, True), z)
+        return 0.5 * z @ alpha + jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    vg_auto = jax.value_and_grad(_nll_theta)
+
+    def step_auto(c, th):
+        v, g = vg_auto(th + 1e-30 * c)
+        return v + jnp.sum(g) * 1e-30
+
+    t_step_auto = _timed_scan(step_auto, (theta_full0,), max(2, reps // 2))
 
     # --- short Adam run: the end-to-end "it actually trains" check ---
     import optax
@@ -160,7 +188,7 @@ def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
         return theta, vals
 
     t0 = time.time()
-    theta, vals = train(theta0)
+    theta, vals = train(theta_full0)
     nll_first, nll_last = float(vals[0]), float(vals[-1])
     t_train = time.time() - t0
 
@@ -180,6 +208,8 @@ def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
             chol_flops / (t_build + t_chol) / 1e9, 2),
         "nll_eval_s": round(t_nll, 6),
         "train_step_s": round(t_step, 6),
+        "train_step_autodiff_s": round(t_step_auto, 6),
+        "train_step_over_eval": round(t_step / t_nll, 2),
         "adam_10step_s": round(t_train, 3),
         "nll_first": nll_first,
         "nll_last": nll_last,
