@@ -50,6 +50,7 @@ def _register():
     from sympgpr_tpu.systems.tokamak import TokamakConfig
     from sympgpr_tpu.workloads import (
         henon_heiles,
+        large_n,
         pendulum_explicit,
         pendulum_implicit,
         pendulum_period_unknown,
@@ -97,6 +98,14 @@ def _register():
             TokamakConfig(N=70, nphmap=4, nph=100, r_scale=0.38,
                           qminmap=0.16, qmaxmap=0.31, nm=a.nm or 4000),
             optimizer=a.optimizer or "cmaes", backend=_backend(a)),
+        # training-set sizes far beyond the reference; --distributed runs
+        # the block-cyclic fit over every visible device (virtual CPU
+        # mesh locally, real mesh on multi-chip hardware)
+        "large_n": lambda a: (
+            large_n.run_distributed(N=a.n or 1024,
+                                    steps=a.steps or 20)
+            if a.distributed else
+            large_n.measure(N=a.n or 4096)),
     })
 
 
@@ -115,12 +124,18 @@ def _summarize(out: dict) -> dict:
 
 
 def cmd_run(args):
-    _setup_jax(platform=args.platform)
+    # the large-N pipeline is f32 (Mosaic rejects x64 loop indices) except
+    # on a pure-CPU mesh, where run_distributed picks f64 itself
+    x64 = not (args.workload == "large_n" and not args.distributed)
+    _setup_jax(x64=x64, platform=args.platform)
     _register()
     if args.workload not in WORKLOADS:
         sys.exit(f"unknown workload {args.workload!r}; "
                  f"available: {sorted(WORKLOADS)}")
     out = WORKLOADS[args.workload](args)
+    if args.workload == "large_n":
+        print(json.dumps(out, default=str))
+        return
     print(json.dumps(_summarize(out), default=str))
     if args.plots and "traj" in out:
         from sympgpr_tpu import plotting
@@ -277,6 +292,18 @@ def cmd_bench(args):
         # large-N pipeline only: covariance build + Cholesky + NLL/train
         # throughput (north-star "build + Cholesky GFLOP/s/chip").  x64 off:
         # the benchmark is f32 and Mosaic rejects x64's int64 indices.
+        if args.distributed:
+            _setup_jax(platform=args.platform)
+            from sympgpr_tpu.workloads import large_n
+
+            out = large_n.run_distributed(N=args.n, steps=args.steps or 20)
+            print(json.dumps({
+                "metric": "large_n_distributed_fit_s",
+                "value": out["t_train_s"],
+                "unit": "s",
+                "detail": out,
+            }))
+            return
         _setup_jax(x64=False, platform=args.platform)
         from sympgpr_tpu.workloads import large_n
 
@@ -312,6 +339,12 @@ def main():
                        help="map-application backend")
     p_run.add_argument("--plots", default=None,
                        help="directory for portrait PNGs")
+    p_run.add_argument("--n", type=int, default=None,
+                       help="training-set size (large_n)")
+    p_run.add_argument("--steps", type=int, default=None,
+                       help="optimizer steps (large_n --distributed)")
+    p_run.add_argument("--distributed", action="store_true",
+                       help="large_n: block-cyclic fit over all devices")
     p_run.set_defaults(fn=cmd_run)
 
     p_list = sub.add_parser("list", help="list workloads")
@@ -343,6 +376,11 @@ def main():
     p_bench.add_argument("--n", type=int, default=4096,
                          help="training-set size for --large-n")
     p_bench.add_argument("--reps", type=int, default=8)
+    p_bench.add_argument("--distributed", action="store_true",
+                         help="with --large-n: block-cyclic distributed "
+                              "fit over all devices")
+    p_bench.add_argument("--steps", type=int, default=None,
+                         help="optimizer steps for --distributed")
     p_bench.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args()

@@ -70,6 +70,36 @@ class SympGP(struct.PyTreeNode):
             alpha=alpha, L=L,
         )
 
+    @classmethod
+    def from_alpha(
+        cls,
+        kernel: Kernel,
+        params: Array,
+        sig: Array,
+        sig2n: Array,
+        X: Array,
+        z: Array,
+        alpha: Array,
+        L: Array | None = None,
+    ) -> "SympGP":
+        """Model from an externally solved alpha (distributed training).
+
+        The large-N path (``distributed/large.py::fit_large``) never
+        materializes the replicated (2N, 2N) covariance, so there is no
+        dense Cholesky factor to store; L defaults to an empty (0, 0)
+        placeholder.  Everything map application needs (alpha, X,
+        hyperparameters) is present; posterior *variance* requires L —
+        recreate via ``SympGP.create`` if needed at a size that fits one
+        device.
+        """
+        if L is None:
+            L = jnp.zeros((0, 0), jnp.asarray(alpha).dtype)
+        return cls(
+            kernel=kernel, params=jnp.asarray(params), sig=jnp.asarray(sig),
+            sig2n=jnp.asarray(sig2n), X=jnp.asarray(X), z=jnp.asarray(z),
+            alpha=jnp.asarray(alpha), L=jnp.asarray(L),
+        )
+
     def training_error(self) -> Array:
         """MSE(z, K alpha) — the diagnostic printed by the reference
         (``python/05_tokamak/SympGPR/main.py:80-83``)."""

