@@ -74,7 +74,7 @@ def _register():
             PendulumConfig(N=50, Nm=100, sig2_n=1e-10, nm=a.nm or 1000),
             backend=_backend(a)),
         "pert_pendulum": lambda a: pert_pendulum.run(
-            PertPendulumConfig(nm=a.nm or 100)),
+            PertPendulumConfig(nm=a.nm or 100), backend=_backend(a)),
         "standard_map": lambda a: standard_map.run(
             StandardMapConfig(nm=a.nm or 100), method="implicit",
             backend=_backend(a)),

@@ -33,6 +33,15 @@ def predict_df(sgp: SympGP, V: Array, with_var: bool = True):
 
     Returns (mean (M, 2), var (M, 2) or None).
     """
+    if with_var and sgp.L.shape[0] == 0:
+        raise ValueError(
+            "posterior variance unavailable: this model was fitted "
+            "without a dense Cholesky factor (distributed fit_large). "
+            "Use distributed.large.predict_df_large(model, mesh, V) for "
+            "a distributed variance, predict_df(..., with_var=False) for "
+            "means only, or refit with SympGP.create at a "
+            "single-device size."
+        )
 
     def one(v):
         Ks = _kstar_deriv(sgp, v)  # (2N, 2)

@@ -22,7 +22,10 @@ from sympgpr_tpu.systems import pert_pendulum as sys_pp
 
 
 def run(cfg: sys_pp.PertPendulumConfig = sys_pp.PertPendulumConfig(),
-        with_reference: bool = True) -> dict[str, Any]:
+        with_reference: bool = True,
+        backend: str = "generic") -> dict[str, Any]:
+    """backend: 'generic' (f64-capable lax.scan path) or 'pallas' (fused
+    f32 whole-rollout kernel, ``ops/pallas_step.py``)."""
     from sympgpr_tpu.devices import host_fit, to_default_device
 
     with host_fit():  # f64 data-gen + small-N fits belong on the host
@@ -46,8 +49,19 @@ def run(cfg: sys_pp.PertPendulumConfig = sys_pp.PertPendulumConfig(),
 
     q0, p0 = sys_pp.test_initial_conditions(cfg)
     t0 = time.time()
-    traj = apply_map(sgp, aux, jnp.asarray(q0), jnp.asarray(p0), cfg.nm,
-                     MapConfig(newton_tol=1e-12, newton_maxiter=20))
+    if backend == "pallas":
+        from sympgpr_tpu.maps.symplectic import Trajectory
+        from sympgpr_tpu.ops import pallas_step as psk
+
+        # same re-conditioning jitter as the (equally smooth) plain
+        # pendulum: 1e-5 keeps |alpha| ~ O(1) for f32 with minimal
+        # interpolation bias (see pendulum_implicit.run)
+        Q, P = psk.rollout_pallas(sgp, aux, q0, p0, cfg.nm,
+                                  mod_q=2 * np.pi, deployment_jitter=1e-5)
+        traj = Trajectory(Q, P, None)
+    else:
+        traj = apply_map(sgp, aux, jnp.asarray(q0), jnp.asarray(p0), cfg.nm,
+                         MapConfig(newton_tol=1e-12, newton_maxiter=20))
     traj.q.block_until_ready()
     t_apply = time.time() - t0
 

@@ -111,6 +111,49 @@ def test_value_and_grad_matches_dense(mesh):
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_d), rtol=1e-7)
 
 
+def _count_prim(jaxpr, name: str) -> int:
+    """Recursively count instances of a primitive in a (closed) jaxpr."""
+    n = 0
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == name:
+            n += 1
+        for v in eqn.params.values():
+            for sub in jax.tree_util.tree_leaves(
+                    v, is_leaf=lambda x: hasattr(x, "eqns")):
+                if hasattr(sub, "eqns"):
+                    n += _count_prim(sub, name)
+                elif hasattr(sub, "jaxpr"):
+                    n += _count_prim(sub.jaxpr, name)
+    return n
+
+
+def test_value_and_grad_single_factorization(mesh):
+    """The jvp-linearized value+grad factorizes ONCE: its trace contains
+    exactly as many Cholesky sites as a plain NLL evaluation (the tangent
+    pass reuses the primal factor through triangular solves), where the
+    round-3 f(theta) + jacfwd(f) form contained twice as many."""
+    X, z = _data(24, seed=5)
+    theta = jnp.asarray([0.1, -0.2, 0.3])
+
+    def f(t):
+        hyp = 10.0 ** t
+        return large.sharded_nll_large(PER_SE, mesh, hyp[:-1], hyp[-1],
+                                       S2N, X, z, block=8)
+
+    def vg(t):
+        return large.sharded_nll_large_value_and_grad(
+            PER_SE, mesh, t, S2N, X, z, block=8)
+
+    n_eval = _count_prim(jax.make_jaxpr(f)(theta).jaxpr, "cholesky")
+    n_vg = _count_prim(jax.make_jaxpr(vg)(theta).jaxpr, "cholesky")
+    n_old = _count_prim(
+        jax.make_jaxpr(lambda t: (f(t), jax.jacfwd(f)(t)))(theta).jaxpr,
+        "cholesky")
+    assert n_eval > 0
+    assert n_vg == n_eval, (n_vg, n_eval)
+    assert n_old == 2 * n_eval, (n_old, n_eval)
+
+
 def test_fit_large_end_to_end(mesh, tmp_path):
     """Distributed training driver: Adam over the sharded value+grad ->
     distributed alpha -> checkpoint -> parity vs an identical dense fit
@@ -164,6 +207,36 @@ def test_fit_large_end_to_end(mesh, tmp_path):
     np.testing.assert_allclose(np.asarray(Kstar @ m2.alpha),
                                np.asarray(Kstar @ a_dense),
                                atol=1e-8 * scale)
+
+
+def test_predict_df_large_matches_dense(mesh):
+    """Distributed posterior variance (multi-RHS cyclic substitution)
+    matches the dense-factor ``gp.predict.predict_df``, and ``predict_df``
+    itself rejects a factorless distributed model with a clear error."""
+    from sympgpr_tpu.gp.model import SympGP
+    from sympgpr_tpu.gp.predict import predict_df
+
+    N = 40
+    X, z = _data(N, seed=9)
+    V = _data(6, seed=10)[0]
+    dense = SympGP.create(PER_SE, P2, SIG, S2N, X, z)
+    mean_d, var_d = predict_df(dense, V)
+
+    model = SympGP.from_alpha(PER_SE, P2, SIG, S2N, X, z, dense.alpha)
+    mean_l, var_l = large.predict_df_large(model, mesh, V, block=8)
+    # mean: same alpha, different contraction order; |alpha| ~ 1e3 at the
+    # 1e-6 jitter, so cancellation noise sits near 1e-10 absolute
+    np.testing.assert_allclose(np.asarray(mean_l), np.asarray(mean_d),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var_l), np.asarray(var_d),
+                               rtol=1e-7, atol=1e-12)
+
+    with pytest.raises(ValueError, match="variance unavailable"):
+        predict_df(model, V)
+    mean_only, none_var = predict_df(model, V, with_var=False)
+    assert none_var is None
+    np.testing.assert_allclose(np.asarray(mean_only), np.asarray(mean_d),
+                               rtol=1e-9, atol=1e-9)
 
 
 def test_fit_large_deployment_jitter(mesh):

@@ -104,6 +104,15 @@ def test_pendulum_pallas_backend():
     assert float(np.nanmean(out["Eosc"])) < 2e-3
 
 
+def test_pert_pendulum_pallas_backend():
+    """Fused implicit map for the stroboscopic Poincare workload
+    (interpret mode on CPU); one-step gate loosened for the f32 +
+    deployment-conditioned path (generic f64 path: 1e-4)."""
+    out = pert_pendulum.run(PertPendulumConfig(nm=20), backend="pallas")
+    assert out["training_error"] < 1e-10
+    assert out["one_step_mse"] < 1e-3
+
+
 def test_henon_pallas_backend():
     """Fused SE x SE kernel without angle wrap (interpret mode on CPU)."""
     out = henon_heiles.run(HenonConfig(Ntest=10), nm=20, backend="pallas")
