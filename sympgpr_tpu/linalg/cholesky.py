@@ -88,6 +88,26 @@ def blocked_cholesky(K: Array, block: int = 256) -> Array:
     return jnp.tril(A)[:n_in, :n_in]
 
 
+def best_cholesky(Ky: Array, block: int = 1024) -> Array:
+    """Fastest measured lower-Cholesky for this backend/size.
+
+    Measured on TPU v5e (n=8192 f32, tools/r4_probe.py blocked):
+    ``jnp.linalg.cholesky`` 16.6-19.7 ms vs ``blocked_cholesky``
+    block=1024 13.9 ms (block=512: 15.6 ms, block=2048: 16.8 ms) — the
+    right-looking blocked algorithm keeps the trailing update on the MXU
+    as one big matmul while XLA's internal blocking is finer.  Adopted
+    per VERDICT round-3 item 6: the blocked path is used on accelerator
+    backends at n >= 4096 (below that the launch overhead of its
+    unrolled panel loop dominates); CPU and small sizes keep the LAPACK
+    path.  Exact same factor up to f32 round-off (parity-tested in
+    tests/test_linalg.py).
+    """
+    n = Ky.shape[0]
+    if jax.default_backend() != "cpu" and n >= 4096:
+        return blocked_cholesky(Ky, block=block)
+    return jnp.linalg.cholesky(Ky)
+
+
 def distributed_cholesky(
     K: Array, mesh: Mesh, axis: str = "kp", block: int | None = None
 ) -> Array:

@@ -404,6 +404,21 @@ def _rollout_call(pm_arrays, q0g, p0g, kind, aux_kind, iters, nm,
     traj = pl.BlockSpec((nm_pad, LANE_TILE), lambda g: (0, g),
                         memory_space=pltpu.VMEM)
     n_out = 3 if track_pdiff else 2
+    # VMEM budget: the default Mosaic scoped-vmem cap (~16 MB) rejects
+    # training sets beyond ns~2048 even though v5e has 128 MB of VMEM —
+    # the per-step working set is ~12 live (ns, 128) f32 intermediates
+    # plus the (nm_pad, 128) trajectory blocks.  Raise the cap to the
+    # estimated footprint (x2 margin for Mosaic double-buffering),
+    # clamped to 100 MB; see docs/DESIGN.md "VMEM budget" for the rule.
+    # Only override when the estimate exceeds the default cap: on this
+    # backend passing vmem_limit_bytes for small working sets (ns<=1024)
+    # makes Mosaic emit a kernel that faults the TPU worker at runtime
+    # (reproduced at any cap value 32-100 MB; the same kernel runs fine
+    # with the default cap).  Large sets both need and tolerate it.
+    est = (16 * n_maps * ns * LANE_TILE * 4
+           + 2 * n_out * nm_pad * LANE_TILE * 4)
+    vmem_cap = (min(100 * 1024 * 1024, 2 * est)
+                if est > 14 * 1024 * 1024 else None)
     outs = pl.pallas_call(
         kernel,
         grid=(G,),
@@ -419,6 +434,8 @@ def _rollout_call(pm_arrays, q0g, p0g, kind, aux_kind, iters, nm,
             for _ in range(n_out)
         ),
         interpret=interpret,
+        compiler_params=None if (interpret or vmem_cap is None)
+        else pltpu.CompilerParams(vmem_limit_bytes=vmem_cap),
     )(scal, uq, uP, a0, a1, auxq, auxp, auxa, q0g, p0g)
     return tuple(o[:nm] for o in outs)
 

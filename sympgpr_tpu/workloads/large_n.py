@@ -188,11 +188,14 @@ def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
 
     t_build = _timed_scan(build_once, (p0,), reps)
 
-    # --- Cholesky alone on a prebuilt Ky ---
+    # --- Cholesky alone on a prebuilt Ky (best_cholesky = the blocked
+    # right-looking MXU path at this size; see linalg/cholesky.py) ---
+    from sympgpr_tpu.linalg.cholesky import best_cholesky
+
     Ky0 = build(p0) + s2n * jnp.eye(n, dtype=dtype)
 
     def chol_once(c, Ky):
-        L = jnp.linalg.cholesky(Ky * (1.0 + 1e-30 * c))
+        L = best_cholesky(Ky * (1.0 + 1e-30 * c))
         return jnp.sum(jnp.log(jnp.diagonal(L)))
 
     t_chol = _timed_scan(chol_once, (Ky0,), reps)
@@ -201,7 +204,7 @@ def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
     def nll_of(p):
         K = build(p)
         Ky = K + s2n * jnp.eye(n, dtype=dtype)
-        L = jnp.linalg.cholesky(Ky)
+        L = best_cholesky(Ky)
         alpha = jax.scipy.linalg.cho_solve((L, True), z)
         return 0.5 * z @ alpha + jnp.sum(jnp.log(jnp.diagonal(L)))
 
@@ -269,6 +272,115 @@ def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
     nll_first, nll_last = float(vals[0]), float(vals[-1])
     t_train = time.time() - t0
 
+    # --- MFU / speed-of-light accounting (VERDICT r3 item 2): measure the
+    # chip's own ceilings in-process, then report every pipeline stage as a
+    # fraction of them.  MXU ceiling: chained f32 3-pass (n, n) matmuls;
+    # transcendental ceiling: chained sin+cos+exp elementwise passes (the
+    # covariance tile spends exactly one sin, cos, exp per training PAIR =
+    # per 4 output entries, ops/pallas_cov.py::_tile_blocks).
+    mfu: dict = {}
+    if not on_cpu:
+        # 8192 probe size: a 4096^3 matmul is too small to saturate the
+        # MXU through this backend (measured 13.4 vs 26.4 TF/s at 8192)
+        A0 = jnp.asarray(
+            np.random.default_rng(0).standard_normal((8192, 8192)), dtype)
+
+        def mm(c, A):
+            C = jax.lax.dot(A * (1.0 + 1e-30 * c), A, precision="float32")
+            return jnp.sum(C[::257, ::257])
+
+        t_mm = _timed_scan(mm, (A0,), max(2, reps // 2))
+        peak = 2 * 8192**3 / t_mm / 1e12
+
+        def transc(c, A):
+            B = A * (1.0 + 1e-30 * c)
+            return jnp.sum(jnp.sin(B) * jnp.cos(B) * jnp.exp(-B * B))
+
+        t_tr = _timed_scan(transc, (A0,), max(2, reps // 2))
+        transc_per_s = 8192**2 / t_tr  # sin+cos+exp triples per second
+
+        # gradient-extras stages on the realized factor
+        from sympgpr_tpu.linalg.triangular import tri_inv_blocked
+        from sympgpr_tpu.ops.pallas_syrk import syrk_lower
+
+        L0 = best_cholesky(Ky0)
+        L0.block_until_ready()
+
+        def triinv(c, L):
+            W = tri_inv_blocked(L * (1.0 + 1e-30 * c))
+            return jnp.sum(W[::257, ::257])
+
+        t_ti = _timed_scan(triinv, (L0,), max(2, reps // 2))
+        W0 = tri_inv_blocked(L0)
+        W0.block_until_ready()
+
+        def syrk(c, W):
+            S = syrk_lower(W * (1.0 + 1e-30 * c))
+            return jnp.sum(S[::257, ::257])
+
+        t_sy = _timed_scan(syrk, (W0,), max(2, reps // 2))
+
+        mfu = {
+            "peak_f32_matmul_tflops": round(peak, 2),
+            "peak_transc_geps": round(transc_per_s / 1e9, 2),
+            "cholesky_mfu": round(
+                (n**3 / 3.0 / t_chol / 1e12) / peak, 3),
+            "triinv_s": round(t_ti, 6),
+            "triinv_tflops": round(2 * n**3 / 3.0 / t_ti / 1e12, 2),
+            "triinv_mfu": round(
+                (2 * n**3 / 3.0 / t_ti / 1e12) / peak, 3),
+            "syrk_s": round(t_sy, 6),
+            "syrk_tflops": round(2 * n**3 / 3.0 / t_sy / 1e12, 2),
+            "triinv_syrk_tflops": round(
+                (2 * n**3 / 3.0 + 2 * n**3 / 3.0) / (t_ti + t_sy) / 1e12,
+                2),
+            # build: N^2 training pairs, one (sin, cos, exp) triple each
+            "build_transc_frac": round(
+                (float(N) * N / t_build) / transc_per_s, 3),
+        }
+
+    # --- deployment rollout of the fitted model (VERDICT r3 item 1): the
+    # train->apply contract at large N.  alpha is solved at the trained
+    # hyperparameters and the fused Pallas rollout kernel (vmem cap raised
+    # to its working set, ops/pallas_step.py) rolls out a 4096-orbit batch.
+    rollout: dict = {}
+    if not on_cpu:
+        from sympgpr_tpu.gp.model import SympGP
+        from sympgpr_tpu.ops import pallas_step as psk
+
+        hyp = 10.0 ** theta
+        K1 = build(hyp[:-1]) * (hyp[-1] / sig)
+        Ky1 = K1 + s2n * jnp.eye(n, dtype=dtype)
+        L1 = best_cholesky(Ky1)
+        alpha1 = jax.scipy.linalg.cho_solve((L1, True), z)
+        sgp = SympGP.from_alpha(PER_SE, hyp[:-1], hyp[-1], s2n, X, z,
+                                alpha1)
+        pm = psk.pack_models(sgp, None, mod_q=2.0 * np.pi)
+        B_roll, nm_roll = 4096, 256
+        rng = np.random.default_rng(1)
+        q0 = jnp.asarray(rng.uniform(0, 2 * np.pi, B_roll), dtype)
+        p0r = jnp.asarray(rng.uniform(-1, 1, B_roll), dtype)
+
+        def roll():
+            Q, P = psk.rollout_in_kernel(pm, q0, p0r, nm_roll, iters=5)
+            return float(jnp.nansum(Q[-1])), Q, P
+
+        _, Q, P = roll()  # compile + warm
+        dt = np.inf
+        for _ in range(3):
+            t0r = time.time()
+            _, Q, P = roll()
+            dt = min(dt, time.time() - t0r)
+        rollout = {
+            "rollout_B": B_roll,
+            "rollout_nm": nm_roll,
+            "rollout_steps_per_s": round((nm_roll - 1) * B_roll / dt, 1),
+            "rollout_pair_gsteps_per_s": round(
+                (nm_roll - 1) * B_roll * pm.ns / dt / 1e9, 2),
+            "rollout_finite_frac": round(float(
+                jnp.mean(jnp.isfinite(P[-1]).astype(jnp.float32))), 4),
+        }
+
     entries = float(n) * n
     chol_flops = n**3 / 3.0
     return {
@@ -291,4 +403,6 @@ def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
         "nll_first": nll_first,
         "nll_last": nll_last,
         "nll_decreased": bool(nll_last < nll_first),
+        **mfu,
+        **rollout,
     }

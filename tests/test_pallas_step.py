@@ -237,3 +237,32 @@ def test_rollout_pallas_model_level_entry():
                              deployment_jitter=None)
     assert Q.shape == (5, 40)
     assert np.isfinite(np.asarray(Q)).all()
+
+
+def test_rollout_large_train_set_matches_fast_path():
+    """N=2048 deployment rollout (VERDICT r3 item 1): the fused kernel
+    must stay exact when the packed training columns are 2048 sublanes
+    (the regime where the default Mosaic scoped-VMEM cap used to reject
+    compilation; ``_rollout_call`` now raises ``vmem_limit_bytes`` to the
+    working-set estimate — see docs/DESIGN.md "VMEM budget").  Interpret
+    mode checks the math; the driver bench compiles the same shape on TPU
+    (``large_n.measure`` rollout row)."""
+    from sympgpr_tpu.gp.model import SympGP
+    from sympgpr_tpu.workloads.large_n import synthetic_training_set
+
+    N = 2048
+    X, z = synthetic_training_set(N, jnp.float32)
+    # deployment-scale jitter keeps |alpha| O(1) so the f32 kernel-vs-XLA
+    # comparison is meaningful (cf. DESIGN.md section 4)
+    sgp = SympGP.create(PER_SE, jnp.asarray([0.6, 0.6], jnp.float32),
+                        jnp.float32(2.0), jnp.float32(1e-2), X, z)
+    _, aux = f32_models(PER_SE, n=24, seed=21)
+    pm = ps.pack_models(sgp, aux, mod_q=None)
+    assert pm.ns == N
+    q0, p0 = ics(21)
+    Q, P = ps.rollout_in_kernel(pm, q0, p0, 2, iters=8, interpret=True)
+    ref = fast_ref(sgp, aux, q0, p0, 2, iters=8, mod_q=None)
+    np.testing.assert_allclose(np.asarray(P[1]), np.asarray(ref.p[1]),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(Q[1]), np.asarray(ref.q[1]),
+                               atol=5e-5)
