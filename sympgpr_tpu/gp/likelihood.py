@@ -165,11 +165,9 @@ def nll_value_and_grad(
         K = pallas_cov.build_K_pallas(kernel, X, X, params, sig)
     else:
         K = build_K_fast(kernel, X, X, params, sig)
-    from sympgpr_tpu.linalg.cholesky import best_cholesky
-
     n = K.shape[0]
     Ky = K + jnp.abs(sig2n) * _device_eye(n, K.dtype)
-    L = best_cholesky(Ky)
+    L = jnp.linalg.cholesky(Ky)
     alpha = jax.scipy.linalg.cho_solve((L, True), z)
     val = 0.5 * z @ alpha + jnp.sum(jnp.log(jnp.diagonal(L)))
 

@@ -1,23 +1,25 @@
-"""Blocked and distributed Cholesky factorization.
+"""Distributed Cholesky factorization.
 
 The reference factorizes on one CPU through scipy/LAPACK
-(``python/01_pendulum/implicit/func.py:105``).  For covariance matrices that
-outgrow one chip's HBM or one core's throughput, this module provides:
+(``python/01_pendulum/implicit/func.py:105``).  For covariance matrices
+that outgrow one chip's HBM, ``distributed_cholesky`` runs a right-looking
+blocked algorithm with block rows distributed cyclically over a mesh axis
+via `shard_map`: the diagonal block is combined with a masked `psum`
+(broadcast over ICI), every device factorizes the small diagonal block
+redundantly, panels are solved locally, and the panel column is
+`all_gather`-ed for the trailing update (the BASELINE.json "block
+allreduce/broadcast collectives over ICI" north star).  Exact (no
+iterative refinement) and validated against ``jnp.linalg.cholesky`` on
+the 8-device CPU mesh in tests.
 
-* ``blocked_cholesky`` — single-device right-looking blocked algorithm
-  (panel Cholesky + triangular solve + SPD trailing update); the trailing
-  update is a matmul and runs on the MXU, unlike the mostly-sequential
-  stock Cholesky.
-* ``distributed_cholesky`` — the same algorithm with block rows distributed
-  cyclically over a mesh axis via `shard_map`: the diagonal block is
-  combined with a masked `psum` (broadcast over ICI), every device
-  factorizes the small diagonal block redundantly, panels are solved
-  locally, and the panel column is `all_gather`-ed for the trailing update
-  (the BASELINE.json "block allreduce/broadcast collectives over ICI"
-  north star).
-
-Both paths are exact (no iterative refinement needed) and are validated
-against ``jnp.linalg.cholesky`` on the 8-device CPU mesh in tests.
+Single-device verdict (VERDICT round-3 item 6, measured v5e n=8192 f32 on
+the N=4096 large_n GP covariance): a single-device right-looking blocked
+Cholesky here ran at 21.8-22.4 ms (block 512-2048) with float32-pinned
+trailing updates vs 19.8 ms for ``jnp.linalg.cholesky`` — XLA wins, so
+the single-device variant was DELETED rather than adopted.  (An earlier
+13.9 ms reading came from the trailing update silently running as one
+bf16 MXU pass; that variant NaNs on ill-conditioned GP covariances and
+is not a usable factorization.)
 """
 
 from __future__ import annotations
@@ -31,10 +33,6 @@ from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
 Array = jax.Array
-
-
-def _chol_small(A: Array) -> Array:
-    return jnp.linalg.cholesky(A)
 
 
 def pad_spd(K: Array, multiple: int) -> Array:
@@ -51,61 +49,6 @@ def pad_spd(K: Array, multiple: int) -> Array:
     Kp = jnp.pad(K, ((0, n_pad - n), (0, n_pad - n)))
     tail = jnp.arange(n, n_pad)
     return Kp.at[tail, tail].set(jnp.asarray(1.0, K.dtype))
-
-
-@partial(jax.jit, static_argnames=("block",))
-def blocked_cholesky(K: Array, block: int = 256) -> Array:
-    """Lower Cholesky factor of SPD K via right-looking blocked updates.
-
-    Non-divisible sizes are identity-padded (``pad_spd``) and sliced back.
-    """
-    n_in = K.shape[0]
-    K = pad_spd(K, block)
-    n = K.shape[0]
-    nb = n // block
-    A = K
-
-    for k in range(nb):
-        sl_k = slice(k * block, (k + 1) * block)
-        Akk = jax.lax.dynamic_slice(A, (k * block, k * block),
-                                    (block, block))
-        Lkk = _chol_small(Akk)
-        A = jax.lax.dynamic_update_slice(A, Lkk, (k * block, k * block))
-        if k + 1 < nb:
-            rest = n - (k + 1) * block
-            Apanel = jax.lax.dynamic_slice(
-                A, ((k + 1) * block, k * block), (rest, block))
-            # L_ik = A_ik L_kk^{-T}
-            Lpanel = jax.scipy.linalg.solve_triangular(
-                Lkk, Apanel.T, lower=True).T
-            A = jax.lax.dynamic_update_slice(
-                A, Lpanel, ((k + 1) * block, k * block))
-            At = jax.lax.dynamic_slice(
-                A, ((k + 1) * block, (k + 1) * block), (rest, rest))
-            At = At - Lpanel @ Lpanel.T  # MXU
-            A = jax.lax.dynamic_update_slice(
-                A, At, ((k + 1) * block, (k + 1) * block))
-    return jnp.tril(A)[:n_in, :n_in]
-
-
-def best_cholesky(Ky: Array, block: int = 1024) -> Array:
-    """Fastest measured lower-Cholesky for this backend/size.
-
-    Measured on TPU v5e (n=8192 f32, tools/r4_probe.py blocked):
-    ``jnp.linalg.cholesky`` 16.6-19.7 ms vs ``blocked_cholesky``
-    block=1024 13.9 ms (block=512: 15.6 ms, block=2048: 16.8 ms) — the
-    right-looking blocked algorithm keeps the trailing update on the MXU
-    as one big matmul while XLA's internal blocking is finer.  Adopted
-    per VERDICT round-3 item 6: the blocked path is used on accelerator
-    backends at n >= 4096 (below that the launch overhead of its
-    unrolled panel loop dominates); CPU and small sizes keep the LAPACK
-    path.  Exact same factor up to f32 round-off (parity-tested in
-    tests/test_linalg.py).
-    """
-    n = Ky.shape[0]
-    if jax.default_backend() != "cpu" and n >= 4096:
-        return blocked_cholesky(Ky, block=block)
-    return jnp.linalg.cholesky(Ky)
 
 
 def distributed_cholesky(

@@ -12,10 +12,15 @@ step at N=4096.  The same inverse assembled from MXU matmuls:
 * ``tri_inv_blocked`` — W = L^{-1} by batched recursive doubling:
   invert all ``base``-sized diagonal blocks in one vmapped call, then
   combine pairs level by level with ``Wb = -Wc (B Wa)`` (two batched
-  matmuls per level).  Total ~(2/3) n^3 flops, all MXU.
+  matmuls per level).  Total ~(2/3) n^3 flops, all MXU.  Measured
+  n=8192 f32 on v5e: 18.3 ms = 20 TF/s effective (the round-3 version
+  spent an extra ~28 ms in Wv[p, :, p, :] gather/scatter HLO between
+  levels; superblocks now stay a batched (npair, 2s, 2s) stack and
+  block extraction is strided slicing — tools/r4_probe.py stages).
 * ``Ky^{-1} = W^T W`` — a syrk; the Pallas tiled version that skips the
   zero upper triangle of W lives in ``ops/pallas_syrk.py`` (n^3/3 MACs
-  instead of the n^3 a dense XLA matmul spends).
+  instead of the n^3 a dense XLA matmul spends; 14.6 ms vs 37.5 ms
+  dense at n=8192).
 
 ``precision`` selects the MXU pass count for f32 inputs: ``"float32"``
 (3-pass, ~27 TF/s on v5e, rel err ~1e-7) or ``"default"`` (1-pass bf16,
@@ -48,7 +53,7 @@ def _pad_tri(L: Array, m: int) -> Array:
 
 @partial(jax.jit, static_argnames=("base", "precision"))
 def tri_inv_blocked(
-    L: Array, base: int = 256, precision: str = "float32"
+    L: Array, base: int = 512, precision: str = "float32"
 ) -> Array:
     """W = L^{-1} for lower-triangular L via batched recursive doubling.
 
@@ -66,44 +71,51 @@ def tri_inv_blocked(
     dt = L.dtype
     nb = m // base
 
-    # --- leaves: all diagonal base-blocks inverted in one batched call ---
-    idx = jnp.arange(nb)
-    Lv = L.reshape(nb, base, nb, base)
-    diag = Lv[idx, :, idx, :]  # (nb, base, base)
+    # --- leaves: all diagonal base-blocks inverted in one batched call.
+    # Static slices + stack, NOT advanced indexing: the round-3 version
+    # extracted diagonal superblocks with Wv[p, :, p, :] gathers and
+    # scattered results back onto a full (m, m) W every level, which cost
+    # ~28 ms of gather/scatter HLO at n=8192 on top of ~15 ms of matmuls
+    # (tools/r4_probe.py stages).  This version keeps W as the stack of
+    # diagonal superblocks (npair, 2s, 2s) between levels — block
+    # extraction is a strided batch slice and assembly is concatenation.
+    diag = jnp.stack([
+        jax.lax.slice(L, (i * base, i * base),
+                      ((i + 1) * base, (i + 1) * base))
+        for i in range(nb)
+    ])
     eye = jnp.eye(base, dtype=dt)
-    W0 = jax.vmap(
+    W = jax.vmap(
         lambda A: jax.scipy.linalg.solve_triangular(A, eye, lower=True)
-    )(diag)
-
-    # scatter the leaf inverses onto the (zero-initialized) full W
-    W = jnp.zeros((m, m), dt)
-    W = W.reshape(nb, base, nb, base).at[idx, :, idx, :].set(W0)
-    W = W.reshape(m, m)
+    )(diag)  # (nb, base, base)
 
     # --- combine levels: span s doubles until it covers the matrix ---
     s = base
     while s < m:
         npair = m // (2 * s)
-        p = jnp.arange(npair)
-        Wv = W.reshape(npair, 2 * s, npair, 2 * s)
-        Lp = L.reshape(npair, 2 * s, npair, 2 * s)[p, :, p, :]
-        Wd = Wv[p, :, p, :]  # (npair, 2s, 2s) diagonal superblocks
-        Wa = Wd[:, :s, :s]
-        Wc = Wd[:, s:, s:]
-        B = Lp[:, s:, :s]
+        Wa = W[0::2]  # (npair, s, s)
+        Wc = W[1::2]
+        B = jnp.stack([
+            jax.lax.slice(L, (2 * p * s + s, 2 * p * s),
+                          (2 * (p + 1) * s, 2 * p * s + s))
+            for p in range(npair)
+        ])  # (npair, s, s) subdiagonal L blocks
         BWa = jax.lax.dot_general(
             B, Wa, (((2,), (1,)), ((0,), (0,))), precision=precision)
         Wb = -jax.lax.dot_general(
             Wc, BWa, (((2,), (1,)), ((0,), (0,))), precision=precision)
-        Wd = Wd.at[:, s:, :s].set(Wb)
-        W = Wv.at[p, :, p, :].set(Wd).reshape(m, m)
+        zero = jnp.zeros((npair, s, s), dt)
+        W = jnp.concatenate([
+            jnp.concatenate([Wa, zero], axis=2),
+            jnp.concatenate([Wb, Wc], axis=2),
+        ], axis=1)  # (npair, 2s, 2s)
         s *= 2
 
-    return W[:n_in, :n_in]
+    return W[0][:n_in, :n_in]
 
 
 def spd_inverse_from_chol(
-    L: Array, base: int = 256, precision: str = "float32",
+    L: Array, base: int = 512, precision: str = "float32",
     syrk: bool = True,
 ) -> Array:
     """Ky^{-1} from its Cholesky factor: W = L^{-1}, then W^T W.

@@ -169,6 +169,15 @@ def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
     n = 2 * N
     on_cpu = jax.default_backend() == "cpu"
 
+    import sys as _sys
+    _t_stage = [time.time()]
+
+    def _prog(stage):
+        now = time.time()
+        print(f"[measure] {stage}: +{now - _t_stage[0]:.1f}s",
+              file=_sys.stderr, flush=True)
+        _t_stage[0] = now
+
     def build(p):
         if on_cpu:  # interpret-mode Pallas is not a benchmark; XLA build
             from sympgpr_tpu.gp.covariance import build_K_fast
@@ -187,28 +196,28 @@ def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
         return jnp.sum(K[:, :: max(1, n // 64)])
 
     t_build = _timed_scan(build_once, (p0,), reps)
+    _prog('build')
 
-    # --- Cholesky alone on a prebuilt Ky (best_cholesky = the blocked
-    # right-looking MXU path at this size; see linalg/cholesky.py) ---
-    from sympgpr_tpu.linalg.cholesky import best_cholesky
-
+    # --- Cholesky alone on a prebuilt Ky ---
     Ky0 = build(p0) + s2n * jnp.eye(n, dtype=dtype)
 
     def chol_once(c, Ky):
-        L = best_cholesky(Ky * (1.0 + 1e-30 * c))
+        L = jnp.linalg.cholesky(Ky * (1.0 + 1e-30 * c))
         return jnp.sum(jnp.log(jnp.diagonal(L)))
 
     t_chol = _timed_scan(chol_once, (Ky0,), reps)
+    _prog('chol')
 
     # --- full NLL evaluation: build -> Cholesky -> logdet + quad ---
     def nll_of(p):
         K = build(p)
         Ky = K + s2n * jnp.eye(n, dtype=dtype)
-        L = best_cholesky(Ky)
+        L = jnp.linalg.cholesky(Ky)
         alpha = jax.scipy.linalg.cho_solve((L, True), z)
         return 0.5 * z @ alpha + jnp.sum(jnp.log(jnp.diagonal(L)))
 
     t_nll = _timed_scan(lambda c, p: nll_of(chain(p, c)), (p0,), reps)
+    _prog('nll')
 
     # --- one training step: closed-form gradient (Rasmussen 5.9 via the
     # blocked triangular inverse + Pallas syrk + Pallas dK contraction;
@@ -227,6 +236,7 @@ def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
         return v + jnp.sum(g) * 1e-30
 
     t_step = _timed_scan(step_once, (theta_full0,), max(2, reps // 2))
+    _prog('step')
 
     # --- the autodiff step (builder custom VJP + Cholesky VJP), kept as
     # the comparison number the closed-form path is judged against.
@@ -247,6 +257,7 @@ def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
         return v + jnp.sum(g) * 1e-30
 
     t_step_auto = _timed_scan(step_auto, (theta_full0,), max(2, reps // 2))
+    _prog('step_autodiff')
 
     # --- short Adam run: the end-to-end "it actually trains" check ---
     import optax
@@ -271,6 +282,7 @@ def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
     theta, vals = train(theta_full0)
     nll_first, nll_last = float(vals[0]), float(vals[-1])
     t_train = time.time() - t0
+    _prog("adam_train")
 
     # --- MFU / speed-of-light accounting (VERDICT r3 item 2): measure the
     # chip's own ceilings in-process, then report every pipeline stage as a
@@ -290,6 +302,7 @@ def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
             return jnp.sum(C[::257, ::257])
 
         t_mm = _timed_scan(mm, (A0,), max(2, reps // 2))
+        _prog('peak_matmul')
         peak = 2 * 8192**3 / t_mm / 1e12
 
         def transc(c, A):
@@ -297,13 +310,14 @@ def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
             return jnp.sum(jnp.sin(B) * jnp.cos(B) * jnp.exp(-B * B))
 
         t_tr = _timed_scan(transc, (A0,), max(2, reps // 2))
+        _prog('peak_transc')
         transc_per_s = 8192**2 / t_tr  # sin+cos+exp triples per second
 
         # gradient-extras stages on the realized factor
         from sympgpr_tpu.linalg.triangular import tri_inv_blocked
         from sympgpr_tpu.ops.pallas_syrk import syrk_lower
 
-        L0 = best_cholesky(Ky0)
+        L0 = jnp.linalg.cholesky(Ky0)
         L0.block_until_ready()
 
         def triinv(c, L):
@@ -311,6 +325,7 @@ def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
             return jnp.sum(W[::257, ::257])
 
         t_ti = _timed_scan(triinv, (L0,), max(2, reps // 2))
+        _prog('triinv')
         W0 = tri_inv_blocked(L0)
         W0.block_until_ready()
 
@@ -319,6 +334,7 @@ def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
             return jnp.sum(S[::257, ::257])
 
         t_sy = _timed_scan(syrk, (W0,), max(2, reps // 2))
+        _prog('syrk')
 
         mfu = {
             "peak_f32_matmul_tflops": round(peak, 2),
@@ -351,7 +367,7 @@ def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
         hyp = 10.0 ** theta
         K1 = build(hyp[:-1]) * (hyp[-1] / sig)
         Ky1 = K1 + s2n * jnp.eye(n, dtype=dtype)
-        L1 = best_cholesky(Ky1)
+        L1 = jnp.linalg.cholesky(Ky1)
         alpha1 = jax.scipy.linalg.cho_solve((L1, True), z)
         sgp = SympGP.from_alpha(PER_SE, hyp[:-1], hyp[-1], s2n, X, z,
                                 alpha1)
@@ -366,6 +382,7 @@ def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
             return float(jnp.nansum(Q[-1])), Q, P
 
         _, Q, P = roll()  # compile + warm
+        _prog("rollout_compile")
         dt = np.inf
         for _ in range(3):
             t0r = time.time()

@@ -5,7 +5,6 @@ Subcommands:
   peak      -- f32 3-pass matmul ceiling (the MFU denominator)
   stages    -- grad-step stage profile at n=2N: build / chol / triinv /
                syrk / contraction, plus whole-step and whole-eval
-  blocked   -- blocked_cholesky vs jnp.linalg.cholesky at n
   rollout   -- rollout_in_kernel throughput vs training-set size N
 """
 
@@ -169,39 +168,6 @@ def cmd_stages(N=4096):
     print(json.dumps(out))
 
 
-def cmd_blocked(n=8192):
-    import jax
-    import jax.numpy as jnp
-
-    from sympgpr_tpu.linalg.cholesky import blocked_cholesky
-
-    k = jax.random.PRNGKey(0)
-    A = jax.random.normal(k, (n, n), jnp.float32) / np.sqrt(n)
-    Ky = A @ A.T + 2.0 * jnp.eye(n, dtype=jnp.float32)
-    Ky.block_until_ready()
-
-    out = {"n": n}
-
-    def xla(c, Ky):
-        L = jnp.linalg.cholesky(Ky * (1 + 1e-30 * c))
-        return jnp.sum(jnp.log(jnp.diagonal(L)))
-
-    out["xla_chol_s"] = round(scan_timed(xla, (Ky,), reps=4), 6)
-
-    for block in (512, 1024, 2048):
-        def blk(c, Ky):
-            L = blocked_cholesky(Ky * (1 + 1e-30 * c), block=block)
-            return jnp.sum(jnp.log(jnp.diagonal(L)))
-
-        try:
-            out[f"blocked_b{block}_s"] = round(
-                scan_timed(blk, (Ky,), reps=4), 6)
-        except Exception as e:
-            out[f"blocked_b{block}_s"] = f"{type(e).__name__}"
-    out["xla_tflops"] = round(n**3 / 3 / out["xla_chol_s"] / 1e12, 2)
-    print(json.dumps(out))
-
-
 def cmd_rollout(Ns=(512, 1024, 2048, 4096), B=4096, nm=256):
     import jax
     import jax.numpy as jnp
@@ -247,7 +213,7 @@ def cmd_rollout(Ns=(512, 1024, 2048, 4096), B=4096, nm=256):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["peak", "stages", "blocked", "rollout"])
+    ap.add_argument("cmd", choices=["peak", "stages", "rollout"])
     ap.add_argument("--n", type=int, default=None)
     args = ap.parse_args()
     import jax
@@ -258,7 +224,5 @@ if __name__ == "__main__":
         cmd_peak(args.n or 8192)
     elif args.cmd == "stages":
         cmd_stages(args.n or 4096)
-    elif args.cmd == "blocked":
-        cmd_blocked(args.n or 8192)
     elif args.cmd == "rollout":
         cmd_rollout()

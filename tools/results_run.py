@@ -23,10 +23,17 @@ import sys
 import numpy as np
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax  # noqa: E402
 
+# config.update beats the sitecustomize-pinned JAX_PLATFORMS (which may
+# point at a tunneled TPU; every table in this file is CPU float64)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 
@@ -126,6 +133,63 @@ def collect() -> list[dict]:
 COLS = ("workload", "train_s", "apply_s", "train_err", "Eosc", "Eosc_se",
         "gd", "one_step_mse", "lost", "period_ratio")
 
+DIST_BEGIN = "<!-- distributed-scaling:begin -->"
+DIST_END = "<!-- distributed-scaling:end -->"
+DIST_COLS = ("N", "devices", "steps", "fit_s", "fit_warm_s",
+             "K_bytes_per_device", "nll_decreased", "alpha_vs_dense_rel")
+
+
+def collect_distributed(Ns=(512, 1024, 2048), steps=10) -> list[dict]:
+    """Distributed ``fit_large`` scaling rows on the 8-device CPU mesh.
+
+    The recorded artifact for VERDICT round-3 item 4: fit wall-time
+    (cold = includes jit compile; warm = second identical-shape call),
+    per-device covariance bytes, and dense-solve parity, re-runnable
+    with ``python tools/results_run.py --distributed``.
+    """
+    from sympgpr_tpu.workloads.large_n import run_distributed
+
+    rows = []
+    for N in Ns:
+        print(f"[results_run] distributed fit N={N} ...", flush=True)
+        cold = run_distributed(N=N, steps=steps)
+        warm = run_distributed(N=N, steps=steps)
+        assert cold["devices"] == 8, cold["devices"]
+        rows.append({
+            "N": N,
+            "devices": cold["devices"],
+            "steps": steps,
+            "fit_s": cold["t_train_s"],
+            "fit_warm_s": warm["t_train_s"],
+            "K_bytes_per_device": f'{cold["per_device_K_bytes"]//2**20} MiB',
+            "nll_decreased": cold["nll_decreased"],
+            "alpha_vs_dense_rel": cold.get("alpha_vs_dense_rel"),
+        })
+    return rows
+
+
+def render_distributed(rows: list[dict]) -> str:
+    lines = [
+        DIST_BEGIN,
+        "## Distributed large-N training scaling (8-device CPU mesh)",
+        "",
+        "`fit_large` end-to-end (block-cyclic build -> flop-windowed",
+        "distributed Cholesky -> single-pass batched-tangent value+grad ->",
+        "Adam scan -> distributed alpha), float64, virtual 8-device CPU",
+        "mesh.  Regenerate: `python tools/results_run.py --distributed`.",
+        "`fit_s` includes jit compile; `fit_warm_s` is a second",
+        "identical-shape run.  `alpha_vs_dense_rel` is max-abs parity of",
+        "the distributed alpha against a dense one-device solve.",
+        "",
+        "| " + " | ".join(DIST_COLS) + " |",
+        "|" + "---|" * len(DIST_COLS),
+    ]
+    for r in rows:
+        lines.append("| " + " | ".join(_fmt(r[c]) for c in DIST_COLS)
+                     + " |")
+    lines.append(DIST_END)
+    return "\n".join(lines)
+
 POSTERIOR_SECTION = """\
 ## Posterior parity (pendulum hyperposterior, N=18, log10 theta)
 
@@ -155,7 +219,7 @@ Notes:
 """
 
 
-def render(rows: list[dict]) -> str:
+def render(rows: list[dict], dist_rows: list[dict] | None = None) -> str:
     lines = [
         "# RESULTS — full reference configurations (CPU, float64)",
         "",
@@ -170,19 +234,44 @@ def render(rows: list[dict]) -> str:
         lines.append(
             "| " + " | ".join(_fmt(r[c]) for c in COLS) + " |")
     lines += ["", POSTERIOR_SECTION]
+    if dist_rows is not None:
+        lines += ["", render_distributed(dist_rows)]
     return "\n".join(lines)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument(
+        "--distributed", action="store_true",
+        help="re-measure only the distributed-scaling section and splice "
+             "it into the existing RESULTS.md")
     args = ap.parse_args()
+    path = os.path.join(os.path.dirname(__file__), "..", "RESULTS.md")
+    if args.distributed:
+        section = render_distributed(collect_distributed())
+        if args.dry_run:
+            print(section)
+            return
+        with open(path) as f:
+            text = f.read()
+        if DIST_BEGIN in text:
+            head = text.split(DIST_BEGIN)[0].rstrip("\n")
+            tail = text.split(DIST_END)[1].lstrip("\n") \
+                if DIST_END in text else ""
+            text = head + "\n\n" + section + ("\n" + tail if tail else "\n")
+        else:
+            text = text.rstrip("\n") + "\n\n" + section + "\n"
+        with open(path, "w") as f:
+            f.write(text)
+        print(f"[results_run] spliced distributed section into {path}")
+        return
     rows = collect()
-    text = render(rows)
+    dist_rows = collect_distributed()
+    text = render(rows, dist_rows)
     if args.dry_run:
         print(text)
         return
-    path = os.path.join(os.path.dirname(__file__), "..", "RESULTS.md")
     with open(path, "w") as f:
         f.write(text)
     print(f"[results_run] wrote {os.path.abspath(path)}")
