@@ -51,9 +51,11 @@ def _pad_tri(L: Array, m: int) -> Array:
     return Lp.at[tail, tail].set(jnp.asarray(1.0, L.dtype))
 
 
-@partial(jax.jit, static_argnames=("base", "precision"))
+@partial(jax.jit,
+         static_argnames=("base", "precision", "trimm", "trimm_tile"))
 def tri_inv_blocked(
-    L: Array, base: int = 512, precision: str = "float32"
+    L: Array, base: int = 512, precision: str = "float32",
+    trimm: bool | None = None, trimm_tile: int | None = None,
 ) -> Array:
     """W = L^{-1} for lower-triangular L via batched recursive doubling.
 
@@ -61,6 +63,13 @@ def tri_inv_blocked(
     back.  All heavy work is batched matmuls at the requested precision;
     only the ``base``-block diagonal inverses use ``triangular_solve``
     (one vmapped call over all blocks).
+
+    ``trimm`` routes the combine matmuls through the triangular-aware
+    Pallas kernel (``ops/pallas_trimm.py``): Wa/Wc are lower-triangular,
+    so half of each product's MACs hit structural zeros that XLA's dense
+    ``dot_general`` cannot skip.  Default (None): on for accelerator
+    backends when the level span is a tile multiple; forced True runs
+    the kernels in interpret mode on CPU (tests).
     """
     n_in = L.shape[0]
     base = min(base, max(8, 1 << (n_in - 1).bit_length()))
@@ -89,6 +98,16 @@ def tri_inv_blocked(
         lambda A: jax.scipy.linalg.solve_triangular(A, eye, lower=True)
     )(diag)  # (nb, base, base)
 
+    if trimm is None:
+        trimm = jax.default_backend() != "cpu"
+    from sympgpr_tpu.ops.pallas_trimm import (
+        TILE as _DEFAULT_TILE,
+        matmul_tril_left,
+        matmul_tril_right,
+    )
+
+    TRIMM_TILE = trimm_tile or _DEFAULT_TILE
+
     # --- combine levels: span s doubles until it covers the matrix ---
     s = base
     while s < m:
@@ -100,10 +119,17 @@ def tri_inv_blocked(
                           (2 * (p + 1) * s, 2 * p * s + s))
             for p in range(npair)
         ])  # (npair, s, s) subdiagonal L blocks
-        BWa = jax.lax.dot_general(
-            B, Wa, (((2,), (1,)), ((0,), (0,))), precision=precision)
-        Wb = -jax.lax.dot_general(
-            Wc, BWa, (((2,), (1,)), ((0,), (0,))), precision=precision)
+        if trimm and s % TRIMM_TILE == 0:
+            BWa = matmul_tril_right(B, Wa, tile=TRIMM_TILE,
+                                    precision=precision)
+            Wb = -matmul_tril_left(Wc, BWa, tile=TRIMM_TILE,
+                                   precision=precision)
+        else:
+            BWa = jax.lax.dot_general(
+                B, Wa, (((2,), (1,)), ((0,), (0,))), precision=precision)
+            Wb = -jax.lax.dot_general(
+                Wc, BWa, (((2,), (1,)), ((0,), (0,))),
+                precision=precision)
         zero = jnp.zeros((npair, s, s), dt)
         W = jnp.concatenate([
             jnp.concatenate([Wa, zero], axis=2),

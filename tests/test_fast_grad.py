@@ -125,3 +125,53 @@ def test_nll_value_and_grad_theta():
     np.testing.assert_allclose(float(val), float(v_ref), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-8, atol=1e-12)
+
+
+def test_trimm_matches_dense():
+    """Triangular-aware Pallas matmuls vs dense (interpret mode)."""
+    from sympgpr_tpu.ops.pallas_trimm import (
+        matmul_tril_left, matmul_tril_right)
+
+    rng = np.random.default_rng(3)
+    nb, s, tile = 2, 256, 128
+    A = jnp.asarray(rng.standard_normal((nb, s, s)))
+    Lt = jnp.asarray(np.tril(rng.standard_normal((nb, s, s))))
+    R = np.asarray(matmul_tril_right(A, Lt, tile=tile, precision="highest"))
+    np.testing.assert_allclose(R, np.asarray(A) @ np.asarray(Lt),
+                               atol=1e-10)
+    Lf = np.asarray(matmul_tril_left(Lt, A, tile=tile, precision="highest"))
+    np.testing.assert_allclose(Lf, np.asarray(Lt) @ np.asarray(A),
+                               atol=1e-10)
+
+
+def test_trimm_ignores_upper_garbage():
+    """Upper-triangle tiles of L must never be read (clamped index maps
+    skip them); fill them with NaN and require a clean result."""
+    from sympgpr_tpu.ops.pallas_trimm import matmul_tril_right
+
+    rng = np.random.default_rng(4)
+    nb, s, tile = 1, 256, 128
+    A = jnp.asarray(rng.standard_normal((nb, s, s)))
+    Lt = np.tril(rng.standard_normal((nb, s, s)))
+    poisoned = Lt.copy()
+    # poison only the strictly-upper TILES (the in-tile upper triangle of
+    # diagonal tiles is read-but-multiplied-by-zero in exact arithmetic,
+    # so it must stay finite)
+    poisoned[:, :tile, tile:] = np.nan
+    R = np.asarray(matmul_tril_right(A, jnp.asarray(poisoned), tile=tile,
+                                     precision="highest"))
+    np.testing.assert_allclose(R, np.asarray(A) @ Lt, atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [256, 515])
+def test_tri_inv_blocked_trimm_path(n):
+    """tri_inv with the Pallas triangular matmuls (interpret) must match
+    the XLA-dot path bit-for-bit in structure and to fp tolerance."""
+    rng = np.random.default_rng(n)
+    A = rng.standard_normal((n, n))
+    L = np.tril(A) + n * np.eye(n)
+    W = np.asarray(tri_inv_blocked(jnp.asarray(L), base=128,
+                                   precision="highest", trimm=True,
+                                   trimm_tile=128))
+    np.testing.assert_allclose(W @ L, np.eye(n), atol=1e-10)
+    assert np.allclose(np.triu(W, 1), 0.0)
