@@ -19,7 +19,13 @@ trailing updates vs 19.8 ms for ``jnp.linalg.cholesky`` — XLA wins, so
 the single-device variant was DELETED rather than adopted.  (An earlier
 13.9 ms reading came from the trailing update silently running as one
 bf16 MXU pass; that variant NaNs on ill-conditioned GP covariances and
-is not a usable factorization.)
+is not a usable factorization.)  A LEFT-looking variant (one f32 MXU
+panel matmul per step, small-solve + matmul panels, no trailing
+rewrites) was also built and measured: 20.5 ms (block 512) / 21.1 ms
+(block 1024) on the same matrix — still behind XLA; the sequential
+per-panel LAPACK chols (~0.5 ms x nb) dominate, and XLA's own schedule
+is already at that frontier.  Deleted likewise; `jnp.linalg.cholesky`
+is the adopted single-device factorization.
 """
 
 from __future__ import annotations
@@ -49,66 +55,6 @@ def pad_spd(K: Array, multiple: int) -> Array:
     Kp = jnp.pad(K, ((0, n_pad - n), (0, n_pad - n)))
     tail = jnp.arange(n, n_pad)
     return Kp.at[tail, tail].set(jnp.asarray(1.0, K.dtype))
-
-
-@partial(jax.jit, static_argnames=("block", "precision"))
-def left_cholesky(
-    K: Array, block: int = 512, precision: str = "float32"
-) -> Array:
-    """Lower Cholesky factor via LEFT-looking blocked panels.
-
-    The right-looking variant lost to XLA here because every step
-    rewrote the whole trailing submatrix through dynamic_update_slice
-    (~5 ms of copies at n=8192) and pushed its panel solve through the
-    ~13 TF/s n-rhs triangular_solve.  Left-looking instead:
-
-    * updates ONE column panel per step:
-      ``col -= L[kb:, :kb] @ L[kb:(k+1)b, :kb]^T`` — a single MXU matmul
-      at ``precision`` (f32 3-pass, ~26 TF/s measured);
-    * factors the (block, block) diagonal with LAPACK-lowered
-      ``jnp.linalg.cholesky``;
-    * forms the below-diagonal panel as ``col @ Lkk^{-T}`` — a b x b
-      triangular solve plus an MXU matmul instead of a big-rhs solve;
-    * never touches the trailing submatrix, so data movement is the
-      O(n^2) panel assembly instead of O(n^2 nb) trailing copies.
-
-    Exact same factor as ``jnp.linalg.cholesky`` up to f32 round-off
-    (CPU parity test); ``precision`` is pinned f32 by default — the bf16
-    default would destroy positive definiteness on GP covariances (see
-    module docstring).
-    """
-    n_in = K.shape[0]
-    K = pad_spd(K, block)
-    n = K.shape[0]
-    nb = n // block
-    b = block
-    eye_b = jnp.eye(b, dtype=K.dtype)
-
-    panels: list[Array] = []
-    for k in range(nb):
-        col = jax.lax.slice(K, (k * b, k * b), (n, (k + 1) * b))
-        if k:
-            Lprev = jnp.concatenate(panels, axis=1)  # (n, k*b)
-            Lrows = jax.lax.slice(Lprev, (k * b, 0), (n, k * b))
-            Lk = jax.lax.slice(Lprev, (k * b, 0), ((k + 1) * b, k * b))
-            col = col - jax.lax.dot_general(
-                Lrows, Lk, (((1,), (1,)), ((), ())), precision=precision)
-        Lkk = jnp.linalg.cholesky(col[:b])
-        if k + 1 < nb:
-            # below = col_below @ Lkk^{-T}; Wkk = Lkk^{-1} is a small
-            # b x b solve, the bulk rides the MXU
-            Wkk = jax.scipy.linalg.solve_triangular(Lkk, eye_b,
-                                                    lower=True)
-            below = jax.lax.dot_general(
-                col[b:], Wkk, (((1,), (1,)), ((), ())),
-                precision=precision)
-            panel = jnp.concatenate(
-                [jnp.zeros((k * b, b), K.dtype), jnp.tril(Lkk), below])
-        else:
-            panel = jnp.concatenate(
-                [jnp.zeros((k * b, b), K.dtype), jnp.tril(Lkk)])
-        panels.append(panel)
-    return jnp.concatenate(panels, axis=1)[:n_in, :n_in]
 
 
 def distributed_cholesky(

@@ -38,21 +38,3 @@ def test_distributed_reconstructs(mesh):
     np.testing.assert_allclose(L @ L.T, np.asarray(K), rtol=1e-9, atol=1e-8)
     assert np.allclose(L, np.tril(L))
 
-
-def test_left_cholesky_matches_stock():
-    from sympgpr_tpu.linalg.cholesky import left_cholesky
-
-    K = spd(512, seed=5)
-    L = np.asarray(left_cholesky(K, block=128, precision="highest"))
-    L_ref = np.asarray(jnp.linalg.cholesky(K))
-    np.testing.assert_allclose(L, L_ref, rtol=1e-9, atol=1e-9)
-    assert np.allclose(L, np.tril(L))
-
-
-def test_left_cholesky_padded_size():
-    from sympgpr_tpu.linalg.cholesky import left_cholesky
-
-    K = spd(300, seed=6)
-    L = np.asarray(left_cholesky(K, block=128, precision="highest"))
-    np.testing.assert_allclose(L @ L.T, np.asarray(K), rtol=1e-9,
-                               atol=1e-8)
