@@ -32,6 +32,13 @@ def main():
         jax.config.update("jax_platforms", plats + ",cpu")
     jax.config.update("jax_enable_x64", True)
 
+    # persistent compilation cache: ~540 s of the 559 s round-4 bench was
+    # XLA compile re-paid through the tunnel on every invocation
+    # (sympgpr_tpu/compcache.py); warm re-runs load cached executables
+    from sympgpr_tpu.compcache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+
     import jax.numpy as jnp
 
     from sympgpr_tpu.baselines import reference_cpu as refcpu
@@ -254,6 +261,7 @@ def main():
     # the multi-host story (chains sharded over a mesh) is exercised by
     # tests/test_nuts.py and dryrun_multichip.
     nuts_sps = None
+    nuts_ctx = None
     if on_tpu:
         try:
             from sympgpr_tpu.gp import hmc as hmc_mod
@@ -276,8 +284,14 @@ def main():
                                          step_size=0.05, max_depth=6, seed=1)
                 float(jnp.sum(r.samples))
                 nuts_sps = round(chains * n_s / (time.time() - t0), 1)
+                # context so the number stays comparable across rounds
+                # (VERDICT round-4 weak #5)
+                nuts_ctx = {"N_train": int(sgp.X.shape[0]),
+                            "chains": chains, "draws": n_s,
+                            "warmup": 64, "max_depth": 6}
         except Exception as e:
             nuts_sps = f"{type(e).__name__}: {e}"
+            nuts_ctx = None
 
     # quality of the accelerated rollout: energy oscillation computed
     # on-device (fetching the trajectory through the tunnel is the slow
@@ -313,6 +327,8 @@ def main():
                         else mxu_steps_per_s),
                     "large_n": large,
                     "nuts_samples_per_s": nuts_sps,
+                    "nuts_context": nuts_ctx,
+                    "compile_cache_dir": cache_dir,
                     "total_bench_s": round(time.time() - t_start, 1),
                 }
             }

@@ -25,12 +25,14 @@ import numpy as np
 def _setup_jax(x64: bool = True, platform: str | None = None):
     import jax
 
+    from sympgpr_tpu.compcache import enable_compilation_cache
     from sympgpr_tpu.devices import ensure_cpu_backend
 
     if platform:
         jax.config.update("jax_platforms", platform)
     ensure_cpu_backend()  # keep a host backend for f64 data-gen/fits
     jax.config.update("jax_enable_x64", x64)
+    enable_compilation_cache()
 
 
 WORKLOADS = {}
@@ -288,6 +290,13 @@ def cmd_sample(args):
 
 
 def cmd_bench(args):
+    if getattr(args, "rollout_sweep", False):
+        _setup_jax(x64=False, platform=args.platform)
+        from sympgpr_tpu.workloads import large_n
+
+        out = large_n.rollout_sweep()
+        print(json.dumps({"metric": "rollout_sweep", "detail": out}))
+        return
     if args.large_n:
         # large-N pipeline only: covariance build + Cholesky + NLL/train
         # throughput (north-star "build + Cholesky GFLOP/s/chip").  x64 off:
@@ -381,6 +390,9 @@ def main():
                               "fit over all devices")
     p_bench.add_argument("--steps", type=int, default=None,
                          help="optimizer steps for --distributed")
+    p_bench.add_argument("--rollout-sweep", action="store_true",
+                         help="fused-rollout throughput vs training-set "
+                              "size (spans the VMEM-cap regimes)")
     p_bench.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args()

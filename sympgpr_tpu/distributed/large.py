@@ -460,6 +460,7 @@ def fit_large(
     kernel: Kernel, mesh: Mesh, X: Array, z: Array, sig2n,
     x0_theta, *, steps: int = 60, lr: float = 3e-2, block: int = 64,
     axis: str = "kp", deployment_jitter: float | None = None,
+    timings: dict | None = None,
 ):
     """End-to-end distributed large-N training (VERDICT round-2 item 2).
 
@@ -508,8 +509,22 @@ def fit_large(
                                      length=steps)
         return th, hist
 
+    import time as _time
+
+    theta0 = theta
+    t0 = _time.time()
     theta, hist = train(theta)
-    history = [float(v) for v in hist]
+    history = [float(v) for v in hist]  # device->host fetch = sync
+    if timings is not None:
+        # trace+compile+run on the first call; a second invocation of
+        # the SAME compiled executable is the genuine warm number (the
+        # round-4 RESULTS table called a fresh re-trace "warm" and got
+        # warm >= cold, VERDICT round-4 weak #2)
+        timings["train_s"] = _time.time() - t0
+        t0 = _time.time()
+        _, h2 = train(theta0)
+        float(h2[-1])
+        timings["train_warm_s"] = _time.time() - t0
 
     hyp = 10.0 ** theta
     params, sig = hyp[:-1], hyp[-1]
@@ -524,24 +539,81 @@ def fit_large(
     return model, np.asarray(history)
 
 
+class DistFactor:
+    """Opaque handle to a block-cyclic distributed Cholesky factor.
+
+    Holds the sharded L slab (device d owns global block rows
+    ``l*D + d``) plus the geometry needed to run solves against it.
+    Produced by ``factorize_large``; consumed by ``predict_df_large`` so
+    repeated prediction batches from one fit pay the factorization once
+    (the distributed analog of the dense path caching ``L`` on the
+    model, ``gp/model.py``).
+    """
+
+    __slots__ = ("slabL", "N", "block", "axis")
+
+    def __init__(self, slabL: Array, N: int, block: int, axis: str):
+        self.slabL = slabL
+        self.N = N
+        self.block = block
+        self.axis = axis
+
+
+def factorize_large(
+    model, mesh: Mesh, *, block: int = 64, axis: str = "kp",
+) -> DistFactor:
+    """Distributed factorization of Ky for a ``fit_large`` model.
+
+    Builds the block-cyclic slab of Ky = sig*K + |sig2n| I and runs the
+    robust distributed Cholesky ONCE, returning the factor sharded in
+    place (K is never replicated; per-device memory is n_pad^2/D
+    entries).  Pass the result to ``predict_df_large(..., factor=...)``
+    to amortize it over many prediction batches.
+    """
+    kernel, params = model.kernel, model.params
+    sig, sig2n, X = model.sig, model.sig2n, model.X
+    N = X.shape[0]
+    D = mesh.shape[axis]
+    n_pad, nb, nb_loc = _geometry(N, D, block)
+    slab = build_K_cyclic(kernel, mesh, params, sig, sig2n, X,
+                          block=block, axis=axis)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None, None, None),),
+        out_specs=P(axis, None, None, None),
+        check_vma=False,
+    )
+    def go(slab):
+        d = jax.lax.axis_index(axis)
+        L = _factorize_robust(slab[0], 2 * N, d, axis, D, nb, nb_loc,
+                              block)
+        return L[None]
+
+    return DistFactor(go(slab), N, block, axis)
+
+
 def predict_df_large(
     model, mesh: Mesh, V: Array, *, block: int = 64, axis: str = "kp",
-    with_var: bool = True,
+    with_var: bool = True, factor: DistFactor | None = None,
 ):
     """Posterior mean/variance of (dF/dq, dF/dP) for a distributed fit.
 
     Models from ``fit_large`` carry no dense Cholesky factor (an (n, n)
     object by definition), so ``gp.predict.predict_df`` cannot serve
-    them.  This path re-factorizes block-cyclically (K never replicated)
+    them.  This path factorizes block-cyclically (K never replicated)
     and runs ONE multi-RHS distributed forward substitution against the
     (n, 2M) cross-covariance panel:
 
         var[m, b] = sig * d2k/dv_b dv_b'(v_m, v_m) - || L^{-1} k*_mb ||^2
 
     Cost: one distributed factorization + nb psums of (block, 2M)
-    panels; chunk V externally if 2M strains replicated memory.  The
-    mean comes from the stored alpha (no factorization needed) exactly
-    as in ``gp.predict.predict_df``.
+    panels; chunk V externally if 2M strains replicated memory.  Pass
+    ``factor=factorize_large(model, mesh, ...)`` to reuse one
+    factorization across repeated prediction batches (asserted
+    factorization-free in ``tests/test_large.py``).  The mean comes from
+    the stored alpha (no factorization needed) exactly as in
+    ``gp.predict.predict_df``.
 
     Returns (mean (M, 2), var (M, 2) or None).  Parity vs the dense
     ``predict_df`` is tested in ``tests/test_large.py``.
@@ -549,6 +621,12 @@ def predict_df_large(
     kernel, params = model.kernel, model.params
     sig, sig2n, X = model.sig, model.sig2n, model.X
     N, M = X.shape[0], V.shape[0]
+    if factor is not None:
+        if (factor.N, factor.axis) != (N, axis):
+            raise ValueError(
+                f"factor geometry (N={factor.N}, axis={factor.axis!r}) "
+                f"does not match model/call (N={N}, axis={axis!r})")
+        block = factor.block
     D = mesh.shape[axis]
     n_pad, nb, nb_loc = _geometry(N, D, block)
 
@@ -566,8 +644,8 @@ def predict_df_large(
     Ks = sig * jnp.transpose(H, (1, 2, 0, 3)).reshape(2 * N, 2 * M)
     Ks = jnp.pad(Ks, ((0, n_pad - 2 * N), (0, 0)))
 
-    slab = build_K_cyclic(kernel, mesh, params, sig, sig2n, X,
-                          block=block, axis=axis)
+    if factor is None:
+        factor = factorize_large(model, mesh, block=block, axis=axis)
 
     @partial(
         jax.shard_map, mesh=mesh,
@@ -575,14 +653,12 @@ def predict_df_large(
         out_specs=P(None, None),
         check_vma=False,
     )
-    def go(slab, Ks):
+    def solve(slabL, Ks):
         d = jax.lax.axis_index(axis)
-        L = _factorize_robust(slab[0], 2 * N, d, axis, D, nb, nb_loc,
-                              block)
-        return _solve_lower_cyclic_mat(L, Ks, d, axis, D, nb, nb_loc,
-                                       block)
+        return _solve_lower_cyclic_mat(slabL[0], Ks, d, axis, D, nb,
+                                       nb_loc, block)
 
-    W = go(slab, Ks)  # (n_pad, 2M)
+    W = solve(factor.slabL, Ks)  # (n_pad, 2M)
     qsum = jnp.sum(W * W, axis=0).reshape(M, 2)
     prior = sig * jax.vmap(
         lambda v: jnp.diagonal(kernel.hess_uv(v, v, params)))(V)

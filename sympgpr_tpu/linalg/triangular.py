@@ -16,7 +16,7 @@ step at N=4096.  The same inverse assembled from MXU matmuls:
   n=8192 f32 on v5e: 18.3 ms = 20 TF/s effective (the round-3 version
   spent an extra ~28 ms in Wv[p, :, p, :] gather/scatter HLO between
   levels; superblocks now stay a batched (npair, 2s, 2s) stack and
-  block extraction is strided slicing — tools/r4_probe.py stages).
+  block extraction is strided slicing — round-4 stage probes).
 * ``Ky^{-1} = W^T W`` — a syrk; the Pallas tiled version that skips the
   zero upper triangle of W lives in ``ops/pallas_syrk.py`` (n^3/3 MACs
   instead of the n^3 a dense XLA matmul spends; 14.6 ms vs 37.5 ms
@@ -85,7 +85,7 @@ def tri_inv_blocked(
     # extracted diagonal superblocks with Wv[p, :, p, :] gathers and
     # scattered results back onto a full (m, m) W every level, which cost
     # ~28 ms of gather/scatter HLO at n=8192 on top of ~15 ms of matmuls
-    # (tools/r4_probe.py stages).  This version keeps W as the stack of
+    # (round-4 stage probes).  This version keeps W as the stack of
     # diagonal superblocks (npair, 2s, 2s) between levels — block
     # extraction is a strided batch slice and assembly is concatenation.
     diag = jnp.stack([
@@ -99,7 +99,10 @@ def tri_inv_blocked(
     )(diag)  # (nb, base, base)
 
     if trimm is None:
-        trimm = jax.default_backend() != "cpu"
+        # pallas_trimm is a Mosaic (pallas.tpu) kernel: default it on
+        # only for the TPU backend; other accelerators take the dense
+        # dot_general branch rather than failing to lower.
+        trimm = jax.default_backend() == "tpu"
     from sympgpr_tpu.ops.pallas_trimm import (
         TILE as _DEFAULT_TILE,
         matmul_tril_left,
@@ -150,7 +153,7 @@ def spd_inverse_from_chol(
     backend (n^3/3 MACs); otherwise (or on CPU) a dense XLA matmul.
     """
     W = tri_inv_blocked(L, base=base, precision=precision)
-    if syrk and jax.default_backend() != "cpu":
+    if syrk and jax.default_backend() == "tpu":
         from sympgpr_tpu.ops.pallas_syrk import syrk_lower
 
         return syrk_lower(W, precision=precision)

@@ -415,6 +415,10 @@ def _rollout_call(pm_arrays, q0g, p0g, kind, aux_kind, iters, nm,
     # makes Mosaic emit a kernel that faults the TPU worker at runtime
     # (reproduced at any cap value 32-100 MB; the same kernel runs fine
     # with the default cap).  Large sets both need and tolerate it.
+    # Gate boundary verified on v5e hardware (round 5): ns in
+    # {1536, 1792, 2048, 2560} — spanning est 12-20 MB, i.e. both sides
+    # of the gate and of the default cap — all run with finite output
+    # under exactly this gating.
     est = (16 * n_maps * ns * LANE_TILE * 4
            + 2 * n_out * nm_pad * LANE_TILE * 4)
     vmem_cap = (min(100 * 1024 * 1024, 2 * est)

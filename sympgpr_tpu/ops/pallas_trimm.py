@@ -59,6 +59,12 @@ def _trimm_tile(a_ref, b_ref, o_ref, *, right: bool, precision):
 def _trimm_call(A: Array, B: Array, right: bool, tile: int,
                 precision: str, interpret: bool) -> Array:
     nb, s, _ = A.shape
+    if A.shape != B.shape:
+        raise ValueError(f"trimm operands must match: {A.shape} vs {B.shape}")
+    if s % tile != 0:
+        # Without this the grid would under-cover the matrix and the
+        # tail of the output buffer would be returned unwritten.
+        raise ValueError(f"trimm size {s} not a multiple of tile {tile}")
     nt = s // tile
     kernel = functools.partial(_trimm_tile, right=right,
                                precision=precision)

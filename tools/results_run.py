@@ -143,9 +143,15 @@ def collect_distributed(Ns=(512, 1024, 2048), steps=10) -> list[dict]:
     """Distributed ``fit_large`` scaling rows on the 8-device CPU mesh.
 
     The recorded artifact for VERDICT round-3 item 4: fit wall-time
-    (cold = includes jit compile; warm = second identical-shape call),
-    per-device covariance bytes, and dense-solve parity, re-runnable
-    with ``python tools/results_run.py --distributed``.
+    (cold = trace + compile + run; warm = a second invocation of the
+    SAME compiled Adam loop, run-only), per-device covariance bytes,
+    and dense-solve parity, re-runnable with
+    ``python tools/results_run.py --distributed``.  The round-4 table
+    re-ran ``run_distributed`` from scratch and called it "warm" — a
+    fresh ``fit_large`` builds a fresh jit closure, so that re-traced,
+    re-compiled, and came out slower than the first run (VERDICT
+    round-4 weak #2); the warm number now comes from inside
+    ``fit_large`` itself.
     """
     from sympgpr_tpu.workloads.large_n import run_distributed
 
@@ -153,14 +159,13 @@ def collect_distributed(Ns=(512, 1024, 2048), steps=10) -> list[dict]:
     for N in Ns:
         print(f"[results_run] distributed fit N={N} ...", flush=True)
         cold = run_distributed(N=N, steps=steps)
-        warm = run_distributed(N=N, steps=steps)
         assert cold["devices"] == 8, cold["devices"]
         rows.append({
             "N": N,
             "devices": cold["devices"],
             "steps": steps,
             "fit_s": cold["t_train_s"],
-            "fit_warm_s": warm["t_train_s"],
+            "fit_warm_s": cold["t_train_warm_s"],
             "K_bytes_per_device": f'{cold["per_device_K_bytes"]//2**20} MiB',
             "nll_decreased": cold["nll_decreased"],
             "alpha_vs_dense_rel": cold.get("alpha_vs_dense_rel"),
@@ -177,8 +182,9 @@ def render_distributed(rows: list[dict]) -> str:
         "distributed Cholesky -> single-pass batched-tangent value+grad ->",
         "Adam scan -> distributed alpha), float64, virtual 8-device CPU",
         "mesh.  Regenerate: `python tools/results_run.py --distributed`.",
-        "`fit_s` includes jit compile; `fit_warm_s` is a second",
-        "identical-shape run.  `alpha_vs_dense_rel` is max-abs parity of",
+        "`fit_s` is the cold end-to-end fit (trace + compile + run);",
+        "`fit_warm_s` re-invokes the compiled Adam loop (run-only).",
+        "`alpha_vs_dense_rel` is max-abs parity of",
         "the distributed alpha against a dense one-device solve.",
         "",
         "| " + " | ".join(DIST_COLS) + " |",
