@@ -80,6 +80,8 @@ class PackedModels(struct.PyTreeNode):
     auxp: Array    # (M*nas, 1)
     auxa: Array    # (M*nas, 1) sig_aux * alpha_aux
     scal: Array    # (M, NSCAL)
+    a0lo: Array | None = None  # f32 residual of f64 sig*alpha_dq (see
+    a1lo: Array | None = None  # ``compensated`` in rollout_in_kernel)
     kind: int = struct.field(pytree_node=False, default=0)
     aux_kind: int = struct.field(pytree_node=False, default=0)
     n_maps: int = struct.field(pytree_node=False, default=1)
@@ -134,6 +136,7 @@ def pack_models_split(
     nas = max(_pad8(a.X.shape[0]) if a is not None else 8 for a in auxes)
 
     uq, uP, a0, a1 = [], [], [], []
+    a0lo, a1lo = [], []
     auxq, auxp, auxa = [], [], []
     scal = np.zeros((M, NSCAL), np.float32)
     for m, (s, a) in enumerate(zip(sgps, auxes)):
@@ -144,6 +147,12 @@ def pack_models_split(
         uP.append(np.asarray(s.X[:, 1]))
         a0.append(sig * al[0])
         a1.append(sig * al[1])
+        # double-f32 split of the f64 coefficients: hi = f32 rounding,
+        # lo = the representation residual (itself f32-representable)
+        c0 = sig * al[0]
+        c1 = sig * al[1]
+        a0lo.append(c0 - c0.astype(np.float32).astype(np.float64))
+        a1lo.append(c1 - c1.astype(np.float32).astype(np.float64))
         if a is not None:
             auxq.append(np.asarray(a.X[:, 0]))
             auxp.append(np.asarray(a.X[:, 1]))
@@ -165,7 +174,8 @@ def pack_models_split(
     return PackedModels(
         uq=_col(uq, ns), uP=_col(uP, ns), a0=_col(a0, ns), a1=_col(a1, ns),
         auxq=_col(auxq, nas), auxp=_col(auxp, nas), auxa=_col(auxa, nas),
-        scal=jnp.asarray(scal), kind=kind, aux_kind=aux_kind,
+        scal=jnp.asarray(scal), a0lo=_col(a0lo, ns), a1lo=_col(a1lo, ns),
+        kind=kind, aux_kind=aux_kind,
         n_maps=M, ns=ns, nas=nas,
     )
 
@@ -209,11 +219,48 @@ def _afactors(kind: int, d, lx, f=0.0):
 # straight into its VMEM-resident output block.
 
 
+def _two_sum(a, b):
+    """Knuth's error-free transform: a + b = s + e exactly (f32)."""
+    s = a + b
+    ap = s - b
+    bp = s - ap
+    return s, (a - ap) + (b - bp)
+
+
+def _comp_rsum(M):
+    """Compensated cross-sublane reduction: (n, L) -> (1, L).
+
+    Pairwise fold carrying a (hi, lo) double-f32 accumulator with TwoSum
+    at every combine — the summation-order error drops from
+    O(eps * sum|terms|) (catastrophic here: posterior sums cancel
+    |alpha| ~ 1e3 terms down to O(1e-2) increments) to O(eps * |result|)
+    + O(eps^2 * sum|terms|).  Levels are statically unrolled; zero
+    padding to a power of two is exact (TwoSum with 0 is exact).
+    DESIGN.md section 4 records the measured Eosc recovery.
+    """
+    n = M.shape[0]
+    npow = 1 << max(0, n - 1).bit_length()
+    if npow != n:
+        M = jnp.concatenate(
+            [M, jnp.zeros((npow - n,) + M.shape[1:], M.dtype)], axis=0)
+    hi = M
+    lo = jnp.zeros_like(M)
+    k = npow // 2
+    while k >= 1:
+        s, e = _two_sum(hi[:k], hi[k:2 * k])
+        lo = lo[:k] + lo[k:2 * k] + e
+        hi = s
+        k //= 2
+    return hi + lo
+
+
 def _rollout_kernel(
-    scal_ref, uq_ref, uP_ref, a0_ref, a1_ref, auxq_ref, auxp_ref, auxa_ref,
+    scal_ref, uq_ref, uP_ref, a0_ref, a1_ref, a0lo_ref, a1lo_ref,
+    auxq_ref, auxp_ref, auxa_ref,
     q0_ref, p0_ref, *out_refs, kind: int, aux_kind: int, iters: int,
     nm: int, loss_check: bool, loss_at_new_q: bool, explicit: bool,
     track_pdiff: bool, n_maps: int, ns: int, nas: int, mxu_reduce: bool,
+    compensated: bool = False,
 ):
     if mxu_reduce:
         # experimental: train-sublane reductions as (1, N)x(N, 128) dots on
@@ -241,6 +288,12 @@ def _rollout_kernel(
             return jnp.sum(M, axis=0, keepdims=True)
 
         rsum_aux = rsum
+
+    def csum(t, tl):
+        """Accuracy-critical posterior reduction (``compensated`` mode
+        only): compensated double-f32 TwoSum tree over the concatenated
+        (hi-terms, lo-terms) stack."""
+        return _comp_rsum(jnp.concatenate([t, tl], axis=0))
     g = pl.program_id(0)
     if track_pdiff:
         Q_out, P_out, D_out = out_refs
@@ -259,13 +312,14 @@ def _rollout_kernel(
     if single:
         # hoist all model loads out of the time loop (the hot path)
         blocks0 = (uq_ref[:], uP_ref[:], a0_ref[:], a1_ref[:],
+                   a0lo_ref[:], a1lo_ref[:],
                    auxq_ref[:], auxp_ref[:], auxa_ref[:])
         scal0 = tuple(scal_ref[0, j] for j in range(9))
 
     def map_step(i, carry):
         q, p, pd = carry
         if single:
-            uq, uP, a0, a1, auxq, auxp, auxa = blocks0
+            uq, uP, a0, a1, a0lo, a1lo, auxq, auxp, auxa = blocks0
             lx, ly, alx, aly, delta, mod_q, freq, afreq, mod_p = scal0
         else:
             m = jnp.mod(i - 1, n_maps)  # step index i-1 uses sub-map m
@@ -274,6 +328,8 @@ def _rollout_kernel(
             uP = uP_ref[pl.ds(o, ns), :]
             a0 = a0_ref[pl.ds(o, ns), :]
             a1 = a1_ref[pl.ds(o, ns), :]
+            a0lo = a0lo_ref[pl.ds(o, ns), :]
+            a1lo = a1lo_ref[pl.ds(o, ns), :]
             oa = m * nas
             auxq = auxq_ref[pl.ds(oa, nas), :]
             auxp = auxp_ref[pl.ds(oa, nas), :]
@@ -291,20 +347,35 @@ def _rollout_kernel(
             A = jnp.exp(-s)
             # Algorithm 2: pGP depends on q alone (the B addend's dq dq'
             # derivative vanishes); no Newton, no aux GP.
-            P = p - rsum(a0 * (spp - sp * sp) * A)
+            g0 = (spp - sp * sp) * A
+            if compensated:
+                P = p - csum(a0 * g0, a0lo * g0)
+            else:
+                P = p - rsum(a0 * g0)
             c2 = c3 = None
         else:
             s, sp, spp = _sfactors(kind, d, lx, freq)
             A = jnp.exp(-s)
-            c0 = a0 * (spp - sp * sp) * A
-            c1 = -a1 * sp * A * ily2
-            c2 = -a0 * sp * A * ily2
+            g0 = (spp - sp * sp) * A
+            g1 = -sp * A * ily2
+            c0 = a0 * g0
+            c1 = a1 * g1
+            c2 = a0 * g1
             c3 = a1 * A
+            if compensated:
+                c0l = a0lo * g0
+                c1l = a1lo * g1
+                c2l = a0lo * g1
+                c3l = a1lo * A
 
             if explicit:
                 dP0 = uP - p
                 B = jnp.exp(-(dP0 * dP0) * (0.5 * ily2))
-                P = p - rsum((c0 + c1 * dP0) * B)
+                if compensated:
+                    P = p - csum((c0 + c1 * dP0) * B,
+                                 (c0l + c1l * dP0) * B)
+                else:
+                    P = p - rsum((c0 + c1 * dP0) * B)
             else:
                 # aux warm start — q- and p-factors fused into ONE exp
                 dqa = auxq - q
@@ -320,7 +391,15 @@ def _rollout_kernel(
                     dP = uP - P
                     dP2 = dP * dP
                     B = jnp.exp(-dP2 * (0.5 * ily2))
-                    f = rsum((c0 + c1 * dP) * B) - p + P
+                    if compensated:
+                        # the converged P satisfies f(P) = 0, so the
+                        # residual's accuracy bounds the answer's; the
+                        # derivative fp only steers convergence and
+                        # stays a plain sum
+                        f = csum((c0 + c1 * dP) * B,
+                                 (c0l + c1l * dP) * B) - p + P
+                    else:
+                        f = rsum((c0 + c1 * dP) * B) - p + P
                     fp = rsum((c0i * dP + c1i * dP2 - c1) * B) + 1.0
                     Pn = P - f / fp
                     return jnp.where(jnp.isfinite(Pn), Pn, P)
@@ -337,10 +416,16 @@ def _rollout_kernel(
         dP = uP - Pw
         dP2 = dP * dP
         B = jnp.exp(-dP2 * (0.5 * ily2))
+        h = ily2 - dP2 * ily2 * ily2
         if kind == 3:
-            dq = rsum(a1 * (ily2 - dP2 * ily2 * ily2) * B)
+            if compensated:
+                dq = csum(a1 * h * B, a1lo * h * B)
+            else:
+                dq = rsum(a1 * h * B)
+        elif compensated:
+            dq = csum((c2 * dP + c3 * h) * B, (c2l * dP + c3l * h) * B)
         else:
-            dq = rsum((c2 * dP + c3 * (ily2 - dP2 * ily2 * ily2)) * B)
+            dq = rsum((c2 * dP + c3 * h) * B)
         Q = q + dq
         Q = jnp.where(mod_q > 0.0, Q - jnp.floor(Q / mod_q) * mod_q, Q)
 
@@ -381,12 +466,12 @@ def _tokamak_lost(P, th):
     jax.jit,
     static_argnames=("kind", "aux_kind", "iters", "nm", "loss_check",
                      "loss_at_new_q", "explicit", "track_pdiff", "n_maps",
-                     "ns", "nas", "mxu_reduce", "interpret"),
+                     "ns", "nas", "mxu_reduce", "compensated", "interpret"),
 )
 def _rollout_call(pm_arrays, q0g, p0g, kind, aux_kind, iters, nm,
                   loss_check, loss_at_new_q, explicit, track_pdiff,
-                  n_maps, ns, nas, mxu_reduce, interpret):
-    uq, uP, a0, a1, auxq, auxp, auxa, scal = pm_arrays
+                  n_maps, ns, nas, mxu_reduce, compensated, interpret):
+    uq, uP, a0, a1, a0lo, a1lo, auxq, auxp, auxa, scal = pm_arrays
     G = q0g.shape[0]
     nm_pad = -(-nm // 8) * 8
 
@@ -394,7 +479,7 @@ def _rollout_call(pm_arrays, q0g, p0g, kind, aux_kind, iters, nm,
         _rollout_kernel, kind=kind, aux_kind=aux_kind, iters=iters, nm=nm,
         loss_check=loss_check, loss_at_new_q=loss_at_new_q,
         explicit=explicit, track_pdiff=track_pdiff, n_maps=n_maps,
-        ns=ns, nas=nas, mxu_reduce=mxu_reduce,
+        ns=ns, nas=nas, mxu_reduce=mxu_reduce, compensated=compensated,
     )
 
     def full(a):
@@ -429,6 +514,7 @@ def _rollout_call(pm_arrays, q0g, p0g, kind, aux_kind, iters, nm,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             full(uq), full(uP), full(a0), full(a1),
+            full(a0lo), full(a1lo),
             full(auxq), full(auxp), full(auxa),
             full(q0g), full(p0g),
         ],
@@ -440,7 +526,7 @@ def _rollout_call(pm_arrays, q0g, p0g, kind, aux_kind, iters, nm,
         interpret=interpret,
         compiler_params=None if (interpret or vmem_cap is None)
         else pltpu.CompilerParams(vmem_limit_bytes=vmem_cap),
-    )(scal, uq, uP, a0, a1, auxq, auxp, auxa, q0g, p0g)
+    )(scal, uq, uP, a0, a1, a0lo, a1lo, auxq, auxp, auxa, q0g, p0g)
     return tuple(o[:nm] for o in outs)
 
 
@@ -448,7 +534,8 @@ def rollout_in_kernel(
     pm: PackedModels, q0: Array, p0: Array, nm: int, iters: int = 5,
     loss_check: bool = False, loss_at_new_q: bool = False,
     explicit: bool = False, track_pdiff: bool = False,
-    mxu_reduce: bool = False, interpret: bool = False,
+    mxu_reduce: bool = False, compensated: bool = False,
+    interpret: bool = False,
 ):
     """Full nm-step rollout in ONE pallas_call (trajectory included).
 
@@ -458,6 +545,11 @@ def rollout_in_kernel(
     same magnitude as the 8-vs-16 summation noise); 5 keeps one iteration
     of margin and is ~17% faster end-to-end than 8.
 
+    ``compensated`` runs every posterior reduction through a double-f32
+    TwoSum tree (``_comp_rsum``): near-f64 per-step accuracy at training
+    jitter, where plain f32 sums of |alpha| ~ 1e3 terms carry ~1e-4
+    cancellation noise (DESIGN.md section 4).
+
     B must be a multiple of 128.  VMEM per tile is ~(2-3) * nm * 128 * 4
     bytes; keep nm <= ~8000 per call (chunk longer rollouts with
     ``rollout_chunked``).  Returns (nm, B) trajectories: (Q, P) or
@@ -466,7 +558,10 @@ def rollout_in_kernel(
     B = q0.shape[0]
     assert B % LANE_TILE == 0, f"batch {B} must be a multiple of {LANE_TILE}"
     G = B // LANE_TILE
-    arrays = (pm.uq, pm.uP, pm.a0, pm.a1, pm.auxq, pm.auxp, pm.auxa, pm.scal)
+    a0lo = pm.a0lo if pm.a0lo is not None else jnp.zeros_like(pm.a0)
+    a1lo = pm.a1lo if pm.a1lo is not None else jnp.zeros_like(pm.a1)
+    arrays = (pm.uq, pm.uP, pm.a0, pm.a1, a0lo, a1lo,
+              pm.auxq, pm.auxp, pm.auxa, pm.scal)
     q0g = q0.reshape(G, LANE_TILE)
     p0g = p0.reshape(G, LANE_TILE)
     if pm.kind == 3:
@@ -474,14 +569,15 @@ def rollout_in_kernel(
     return _rollout_call(arrays, q0g, p0g, pm.kind, pm.aux_kind,
                          iters, nm, loss_check, loss_at_new_q, explicit,
                          track_pdiff, pm.n_maps, pm.ns, pm.nas,
-                         mxu_reduce, interpret)
+                         mxu_reduce, compensated, interpret)
 
 
 def rollout_chunked(
     pm: PackedModels, q0: Array, p0: Array, nm: int, iters: int = 5,
     loss_check: bool = False, loss_at_new_q: bool = False,
     explicit: bool = False, track_pdiff: bool = False,
-    mxu_reduce: bool = False, interpret: bool = False, chunk: int = 4096,
+    mxu_reduce: bool = False, compensated: bool = False,
+    interpret: bool = False, chunk: int = 4096,
 ):
     """Arbitrary-length rollout via VMEM-sized ``rollout_in_kernel`` chunks.
 
@@ -495,7 +591,7 @@ def rollout_chunked(
     kw = dict(iters=iters, loss_check=loss_check,
               loss_at_new_q=loss_at_new_q, explicit=explicit,
               track_pdiff=track_pdiff, mxu_reduce=mxu_reduce,
-              interpret=interpret)
+              compensated=compensated, interpret=interpret)
     if pm.n_maps > 1:
         # chunk boundaries must preserve the i % n_maps sub-map phase
         chunk = max(pm.n_maps, chunk - ((chunk - 1) % pm.n_maps))
@@ -536,6 +632,7 @@ def rollout_pallas(
     iters: int = 5, explicit: bool = False, track_pdiff: bool = False,
     loss_check: bool = False, loss_at_new_q: bool = False,
     deployment_jitter: float | None = 1e-3,
+    compensated: bool = False,
     interpret: bool | None = None, chunk: int = 4096,
 ):
     """Model-level fused rollout: any kernel variant, single or Split
@@ -560,20 +657,14 @@ def rollout_pallas(
     auxes = (list(aux) if isinstance(aux, (list, tuple))
              else [aux] * len(sgps))
 
-    def cast32(t):
-        return jax.tree_util.tree_map(
-            lambda a: jnp.asarray(a, jnp.float32)
-            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, t)
-
     with host_fit():
         if deployment_jitter is not None:
             sgps = [s.for_deployment(deployment_jitter) for s in sgps]
             auxes = [a.for_deployment(deployment_jitter)
                      if a is not None else None for a in auxes]
-        pm = pack_models_split(
-            [cast32(s) for s in sgps],
-            [cast32(a) if a is not None else None for a in auxes],
-            mod_q=mod_q, mod_p=mod_p)
+        # pack from the f64 models directly: _col rounds each column to
+        # f32 and the a0lo/a1lo residual split needs the f64 originals
+        pm = pack_models_split(sgps, auxes, mod_q=mod_q, mod_p=mod_p)
     pm = to_default_device(pm)
 
     q0 = np.asarray(q0, np.float32)
@@ -589,5 +680,6 @@ def rollout_pallas(
                                loss_check=loss_check,
                                loss_at_new_q=loss_at_new_q,
                                explicit=explicit, track_pdiff=track_pdiff,
+                               compensated=compensated,
                                interpret=interpret, chunk=chunk)
     return tuple(o[:, :B] for o in outs)
