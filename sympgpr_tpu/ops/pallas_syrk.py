@@ -85,6 +85,15 @@ def _syrk_call(W: Array, tile: int, precision: str, interpret: bool):
     )(W, W)
 
 
+# Round-5 note: a syrk-UPDATE kernel (C[lower trailing tiles] -=
+# panel @ panel^T with a dynamic shrinking grid, scalar-prefetched step
+# index, and C aliased in place) was built here to power a third blocked
+# Cholesky attempt.  It validated in interpret mode and compiled on
+# hardware, but the factorization measured 29.1 ms vs XLA's 16.5 ms at
+# n=8192 (per-step latency dominates; full account in
+# ``linalg/cholesky.py``) and was deleted with its caller.
+
+
 def syrk_lower(
     W: Array, tile: int = TILE, precision: str = "float32",
     interpret: bool | None = None,

@@ -115,3 +115,39 @@ def test_apply_map_sharded_matches_single(mesh):
     ref = apply_map(sgp, aux, q0, p0, 8, cfg)
     np.testing.assert_allclose(np.asarray(qs), np.asarray(ref.q), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(ps), np.asarray(ref.p), rtol=1e-10)
+
+
+def test_rollout_in_kernel_sharded_matches_single(mesh):
+    """The dp-sharded fused rollout is bitwise the single-device kernel
+    on each orbit shard (orbit tiles are independent grid programs), and
+    rejects batches that don't tile over devices x lanes."""
+    from sympgpr_tpu.ops import pallas_step as ps
+
+    rng = np.random.default_rng(7)
+    n = 12
+    q = rng.uniform(0, 2 * np.pi, n)
+    P = rng.uniform(-1, 1, n)
+    X = jnp.asarray(np.stack([q, P], 1), jnp.float32)
+    z = jnp.asarray(np.concatenate([0.1 * np.sin(q) * P,
+                                    0.1 * np.cos(q)]), jnp.float32)
+    params = jnp.asarray([0.9, 1.2], jnp.float32)
+    sgp = SympGP.create(PER_SE, params, 1.5, 1e-2, X, z)
+    aux = AuxGP.create(PER_SE, params, 1.5, 1e-2, X,
+                       0.1 * jnp.sin(X[:, 0]), delta=True)
+    pm = ps.pack_models(sgp, aux, mod_q=2 * np.pi)
+
+    D = mesh.shape["dp"]
+    B = D * ps.LANE_TILE
+    q0 = jnp.asarray(rng.uniform(0, 2 * np.pi, B), jnp.float32)
+    p0 = jnp.asarray(rng.uniform(-0.5, 0.5, B), jnp.float32)
+    nm = 4
+    Qs, Ps = sharded.rollout_in_kernel_sharded(
+        mesh, pm, q0, p0, nm, interpret=True)
+    Q1, P1 = ps.rollout_in_kernel(pm, q0, p0, nm, interpret=True)
+    np.testing.assert_array_equal(np.asarray(Qs), np.asarray(Q1))
+    np.testing.assert_array_equal(np.asarray(Ps), np.asarray(P1))
+
+    with pytest.raises(ValueError, match="multiple"):
+        sharded.rollout_in_kernel_sharded(
+            mesh, pm, q0[: ps.LANE_TILE], p0[: ps.LANE_TILE], nm,
+            interpret=True)
