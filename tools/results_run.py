@@ -32,8 +32,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax  # noqa: E402
 
 # config.update beats the sitecustomize-pinned JAX_PLATFORMS (which may
-# point at a tunneled TPU; every table in this file is CPU float64)
-jax.config.update("jax_platforms", "cpu")
+# point at a tunneled TPU; every table in this file is CPU float64 —
+# EXCEPT the --tokamak-large quality rows, which exist to measure the
+# on-device large-N pipeline and therefore keep the default accelerator.
+if "--tokamak-large" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+else:
+    from sympgpr_tpu.compcache import enable_compilation_cache
+
+    enable_compilation_cache()
 jax.config.update("jax_enable_x64", True)
 
 
@@ -196,6 +203,50 @@ def render_distributed(rows: list[dict]) -> str:
     lines.append(DIST_END)
     return "\n".join(lines)
 
+TOK_LARGE_BEGIN = "<!-- tokamak-large:begin -->"
+TOK_LARGE_END = "<!-- tokamak-large:end -->"
+TOK_LARGE_COLS = ("N", "sig2n_used", "fit_run_s", "train_mse", "gd",
+                  "mean_Eosc", "n_lost")
+
+
+def collect_tokamak_large(configs=((2048, 1e-3), (4096, 1e-2)),
+                          steps=60) -> list[dict]:
+    """Large-N REAL-physics quality rows (tokamak_large) on the default
+    accelerator; regenerate with
+    ``python tools/results_run.py --tokamak-large`` (TPU)."""
+    from sympgpr_tpu.workloads import tokamak_large
+
+    rows = []
+    for N, s2n in configs:
+        print(f"[results_run] tokamak_large N={N} ...", flush=True)
+        out = tokamak_large.run(n_train=N, nm=1000, steps=steps,
+                                sig2n=s2n)
+        rows.append({k: out[k] for k in TOK_LARGE_COLS})
+    return rows
+
+
+def render_tokamak_large(rows: list[dict]) -> str:
+    lines = [
+        TOK_LARGE_BEGIN,
+        "## Large-N tokamak on real physics (TPU)",
+        "",
+        "`tokamak_large`: N real field-line section crossings, on-device",
+        "Adam fit (closed-form value+grad), fused Pallas rollout of 1000",
+        "turns x 30 reference test orbits, reference quality gates.  The",
+        "N=80 reference-size driver measures gd ~5e-4 / Eosc ~7.3e-3 on",
+        "the same metrics (bench.py).  Regenerate:",
+        "`python tools/results_run.py --tokamak-large` (needs the TPU).",
+        "",
+        "| " + " | ".join(TOK_LARGE_COLS) + " |",
+        "|" + "---|" * len(TOK_LARGE_COLS),
+    ]
+    for r in rows:
+        lines.append("| " + " | ".join(_fmt(r[c]) for c in TOK_LARGE_COLS)
+                     + " |")
+    lines.append(TOK_LARGE_END)
+    return "\n".join(lines)
+
+
 POSTERIOR_SECTION = """\
 ## Posterior parity (pendulum hyperposterior, N=18, log10 theta)
 
@@ -252,8 +303,30 @@ def main():
         "--distributed", action="store_true",
         help="re-measure only the distributed-scaling section and splice "
              "it into the existing RESULTS.md")
+    ap.add_argument(
+        "--tokamak-large", action="store_true",
+        help="re-measure only the large-N real-physics section (TPU) and "
+             "splice it into the existing RESULTS.md")
     args = ap.parse_args()
     path = os.path.join(os.path.dirname(__file__), "..", "RESULTS.md")
+    if args.tokamak_large:
+        section = render_tokamak_large(collect_tokamak_large())
+        if args.dry_run:
+            print(section)
+            return
+        with open(path) as f:
+            text = f.read()
+        if TOK_LARGE_BEGIN in text:
+            head = text.split(TOK_LARGE_BEGIN)[0].rstrip("\n")
+            tail = text.split(TOK_LARGE_END)[1].lstrip("\n") \
+                if TOK_LARGE_END in text else ""
+            text = head + "\n\n" + section + ("\n" + tail if tail else "\n")
+        else:
+            text = text.rstrip("\n") + "\n\n" + section + "\n"
+        with open(path, "w") as f:
+            f.write(text)
+        print(f"[results_run] spliced tokamak-large section into {path}")
+        return
     if args.distributed:
         section = render_distributed(collect_distributed())
         if args.dry_run:
