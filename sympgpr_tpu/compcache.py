@@ -14,6 +14,14 @@ Opt out with ``SYMPGPR_COMPILE_CACHE=off``; point elsewhere with
 (``.jax_cache/``, gitignored) so driver bench runs and interactive runs
 share entries.
 
+Measured effect on the full bench (round 5, v5e): per-stage compile
+fields drop ~10x warm (adam_compile_s 41.5 -> 5.3, nll stage 29 -> 5.1,
+rollout_compile_s 6.9 -> 2.3) while total_bench_s only falls 522 ->
+452 s — the residual is per-program cached-executable LOAD + dispatch
+latency through the tunnel (~5 s x ~30 distinct programs), not
+recompilation.  On directly-attached hardware the warm total would
+approach the pure-compute sum (~30 s).
+
 The reference has no compilation at all (Fortran is compiled once by
 make, ``python/05_tokamak/SympGPR/Makefile``); this is the TPU-native
 equivalent of not rebuilding the .so per run.
