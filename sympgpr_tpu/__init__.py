@@ -21,6 +21,7 @@ from sympgpr_tpu.gp.model import AuxGP, SympGP, load_models, save_models
 from sympgpr_tpu.gp.train import (
     fit_auxgp,
     fit_sympgp,
+    fit_sympgp_ondevice,
     fit_sympgp_separable,
     minimize_cmaes,
     minimize_lbfgs,

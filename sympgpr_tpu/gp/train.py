@@ -286,6 +286,104 @@ def fit_sympgp(
     return model, res
 
 
+def fit_sympgp_ondevice(
+    kernel: Kernel,
+    X: Array,
+    z: Array,
+    *,
+    sig2n: float,
+    theta0: Sequence[float] = (0.5, 2.5, 2.0),
+    steps: int = 60,
+    lr: float = 5e-2,
+    max_jitter_tries: int = 7,
+):
+    """Large-N on-device fit: one jitted Adam scan over the closed-form
+    ``nll_value_and_grad_theta`` (Pallas covariance tiles + MXU Cholesky
+    on TPU; a single dispatch and device->host fetch for the whole run),
+    then the alpha solve at the trained hyperparameters.
+
+    This is the single-chip large-N training API — the scaled-up
+    counterpart of ``fit_sympgp`` (whose scipy L-BFGS loop round-trips
+    the host every evaluation; fine at the reference's N <= 80, wasteful
+    at N in the thousands) and the single-chip sibling of the
+    distributed ``distributed.large.fit_large``.  Powers
+    ``workloads/tokamak_large.py``; measured v5e numbers in DESIGN.md
+    section 3 (N=8192: 60 steps in 14.3 s of compute over a 16384^2 f32
+    covariance).
+
+    Jitter escalation (the large-N analog of the reference's eigsh
+    fallback, ``python/01_pendulum/implicit/func.py:104-114``): the f32
+    Cholesky inside the closed-form gradient goes indefinite when
+    ``sig2n`` is too small for the conditioning at this N (measured:
+    tokamak N=4096 trains at 1e-2 but NaNs at 1e-3) — a non-finite
+    final NLL triggers a refit at 10x the jitter, recorded in the
+    returned timings as ``sig2n_used``/``jitter_escalations``.
+
+    Returns ``(model, nll_history, train_mse, timings)`` where timings
+    carries the compile/run split of the training scan.
+    """
+    import time as _time
+
+    from sympgpr_tpu.gp.likelihood import nll_value_and_grad_theta
+    from sympgpr_tpu.ops import pallas_cov
+
+    dtype = X.dtype
+    theta0 = jnp.asarray(np.log10(np.asarray(theta0)), dtype)
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def train(theta, s2n):
+        def body(carry, _):
+            th, st = carry
+            v, g = nll_value_and_grad_theta(kernel, th, s2n, X, z)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            upd, st = opt.update(g, st, th)
+            return (optax.apply_updates(th, upd), st), v
+
+        (th, _), hist = jax.lax.scan(body, (theta, opt.init(theta)), None,
+                                     length=steps)
+        return th, hist
+
+    escalations = 0
+    t0 = _time.time()
+    while True:
+        s2n = jnp.asarray(sig2n, dtype)
+        theta, hist = train(theta0, s2n)
+        hist = np.asarray(hist)  # fetch = sync
+        if np.isfinite(hist[-1]) or escalations >= max_jitter_tries:
+            break
+        sig2n *= 10.0
+        escalations += 1
+    t_total = _time.time() - t0
+    t0 = _time.time()
+    _, h2 = train(theta0, s2n)
+    float(h2[-1])
+    t_run = _time.time() - t0
+
+    hyp = 10.0 ** theta
+    params, sig = hyp[:-1], hyp[-1]
+    n = X.shape[0]
+    if pallas_cov.want_pallas_build(kernel, X):
+        K = pallas_cov.build_K_pallas(kernel, X, X, params, sig)
+    else:
+        from sympgpr_tpu.gp.covariance import build_K_fast
+
+        K = build_K_fast(kernel, X, X, params, sig)
+    Ky = K + s2n * jnp.eye(2 * n, dtype=dtype)
+    L = jnp.linalg.cholesky(Ky)
+    alpha = jax.scipy.linalg.cho_solve((L, True), z)
+    model = SympGP.from_alpha(kernel, params, sig, s2n, X, z, alpha)
+    # training MSE from the already-built K (SympGP.training_error would
+    # rebuild it through the vmapped-autodiff reference builder, which is
+    # an O(N^2) Hessian trace never meant for N in the thousands)
+    train_mse = float(jnp.mean((K @ alpha - z) ** 2))
+    timings = {"fit_s": round(t_total, 3), "fit_run_s": round(t_run, 3),
+               "fit_compile_s": round(t_total - t_run, 3),
+               "sig2n_used": float(sig2n),
+               "jitter_escalations": escalations}
+    return model, hist, train_mse, timings
+
+
 def fit_auxgp(
     kernel: Kernel,
     X: Array,

@@ -53,85 +53,17 @@ from sympgpr_tpu.systems import tokamak as tk
 Array = jax.Array
 
 
-def fit_sympgp_large(
-    X: Array, z: Array, sig2n: float, theta0, steps: int, lr: float,
-    max_jitter_tries: int = 7,
-):
-    """Device fit of the symplectic GP at full N: one jitted Adam scan
-    over the closed-form value+grad (no host round trips), then the
-    alpha solve at the trained hyperparameters.
+def fit_sympgp_large(X: Array, z: Array, sig2n: float, theta0,
+                     steps: int, lr: float, max_jitter_tries: int = 7):
+    """PER_SE convenience wrapper over the library-level on-device
+    large-N fitter (``gp.train.fit_sympgp_ondevice`` — Adam scan over
+    the closed-form value+grad, compile/run split, f32 jitter
+    escalation)."""
+    from sympgpr_tpu.gp.train import fit_sympgp_ondevice
 
-    Jitter escalation (the large-N analog of the reference's eigsh
-    fallback and of ``chol_and_alpha``): the f32 Cholesky inside the
-    closed-form gradient goes indefinite when sig2n is too small for
-    the conditioning at this N (measured: N=4096 trains at 1e-2 but
-    NaNs at 1e-3; N=2048 trains at 1e-3) — a non-finite final NLL
-    triggers a refit at 10x the jitter, recorded in the returned
-    timings as ``sig2n_used``/``jitter_escalations``.
-
-    Returns (model, nll_history, train_mse, timings dict with the
-    compile/run split)."""
-    import optax
-
-    from sympgpr_tpu.gp.likelihood import nll_value_and_grad_theta
-    from sympgpr_tpu.gp.model import SympGP
-    from sympgpr_tpu.ops import pallas_cov
-
-    dtype = X.dtype
-    theta0 = jnp.asarray(np.log10(np.asarray(theta0)), dtype)
-    opt = optax.adam(lr)
-
-    @jax.jit
-    def train(theta, s2n):
-        def body(carry, _):
-            th, st = carry
-            v, g = nll_value_and_grad_theta(PER_SE, th, s2n, X, z)
-            g = jnp.where(jnp.isfinite(g), g, 0.0)
-            upd, st = opt.update(g, st, th)
-            return (optax.apply_updates(th, upd), st), v
-
-        (th, _), hist = jax.lax.scan(body, (theta, opt.init(theta)), None,
-                                     length=steps)
-        return th, hist
-
-    escalations = 0
-    t0 = time.time()
-    while True:
-        s2n = jnp.asarray(sig2n, dtype)
-        theta, hist = train(theta0, s2n)
-        hist = np.asarray(hist)  # fetch = sync
-        if np.isfinite(hist[-1]) or escalations >= max_jitter_tries:
-            break
-        sig2n *= 10.0
-        escalations += 1
-    t_total = time.time() - t0
-    t0 = time.time()
-    _, h2 = train(theta0, s2n)
-    float(h2[-1])
-    t_run = time.time() - t0
-
-    hyp = 10.0 ** theta
-    params, sig = hyp[:-1], hyp[-1]
-    n = X.shape[0]
-    if pallas_cov.want_pallas_build(PER_SE, X):
-        K = pallas_cov.build_K_pallas(PER_SE, X, X, params, sig)
-    else:
-        from sympgpr_tpu.gp.covariance import build_K_fast
-
-        K = build_K_fast(PER_SE, X, X, params, sig)
-    Ky = K + s2n * jnp.eye(2 * n, dtype=dtype)
-    L = jnp.linalg.cholesky(Ky)
-    alpha = jax.scipy.linalg.cho_solve((L, True), z)
-    model = SympGP.from_alpha(PER_SE, params, sig, s2n, X, z, alpha)
-    # training MSE from the already-built K (SympGP.training_error would
-    # rebuild it through the vmapped-autodiff reference builder, which is
-    # an O(N^2) Hessian trace never meant for N in the thousands)
-    train_mse = float(jnp.mean((K @ alpha - z) ** 2))
-    timings = {"fit_s": round(t_total, 3), "fit_run_s": round(t_run, 3),
-               "fit_compile_s": round(t_total - t_run, 3),
-               "sig2n_used": float(sig2n),
-               "jitter_escalations": escalations}
-    return model, hist, train_mse, timings
+    return fit_sympgp_ondevice(
+        PER_SE, X, z, sig2n=sig2n, theta0=theta0, steps=steps, lr=lr,
+        max_jitter_tries=max_jitter_tries)
 
 
 def run(
