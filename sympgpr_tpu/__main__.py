@@ -116,6 +116,8 @@ def _register():
             fromlist=["run"]).run(
                 n_train=a.n or 4096, nm=a.nm or 1000,
                 steps=a.steps or 40),
+        "standard_map_large": lambda a: standard_map.run_large(
+            n_train=a.n or 4096, nm=a.nm or 200, steps=a.steps or 60),
     })
 
 
@@ -143,7 +145,8 @@ def cmd_run(args):
         sys.exit(f"unknown workload {args.workload!r}; "
                  f"available: {sorted(WORKLOADS)}")
     out = WORKLOADS[args.workload](args)
-    if args.workload in ("large_n", "tokamak_large"):
+    if args.workload in ("large_n", "tokamak_large",
+                         "standard_map_large"):
         print(json.dumps(out, default=str))
         return
     print(json.dumps(_summarize(out), default=str))

@@ -202,3 +202,14 @@ def test_tokamak_large_jitter_escalation():
     assert timings["jitter_escalations"] >= 1
     assert timings["sig2n_used"] > 1e-12
     assert np.isfinite(hist[-1])
+
+
+def test_standard_map_large_end_to_end():
+    """Second physics system through the large-N pipeline: exact Chirikov
+    data at reduced N on CPU, on-device-style fit, fused rollout with
+    p-wrap + pdiff, one-step MSE gate vs the exact map."""
+    out = standard_map.run_large(n_train=192, nm=10, steps=20,
+                                 aux_subsample=96, sig2n=1e-4)
+    assert out["nll_decreased"]
+    assert out["one_step_mse"] < 1e-4, out["one_step_mse"]
+    assert out["finite_frac"] == 1.0
