@@ -115,7 +115,7 @@ def _register():
             "sympgpr_tpu.workloads.tokamak_large",
             fromlist=["run"]).run(
                 n_train=a.n or 4096, nm=a.nm or 1000,
-                steps=a.steps or 40),
+                steps=a.steps or 40, plots=a.plots),
         "standard_map_large": lambda a: standard_map.run_large(
             n_train=a.n or 4096, nm=a.nm or 200, steps=a.steps or 60),
     })

@@ -77,6 +77,7 @@ def run(
     with_reference: bool = True,
     rollout_batch: int | None = None,
     compensated: bool = False,
+    plots: str | None = None,
 ) -> dict[str, Any]:
     """End-to-end large-N tokamak: real data gen -> device fit -> fused
     rollout -> reference quality gates.  ``rollout_batch`` > Ntest adds a
@@ -164,6 +165,30 @@ def run(
             jnp.asarray(pr, Qt.dtype))
         out["gd"] = float(np.nanmean(np.asarray(gd)))
         out["stdgd"] = float(stdgd)
+
+    if plots:
+        # Poincare portrait vs the f64 reference sections — the visual
+        # deliverable every reference main.py ends with
+        # (python/05_tokamak/SympGPR/main.py plotting tail)
+        import os
+
+        from sympgpr_tpu import plotting
+
+        os.makedirs(plots, exist_ok=True)
+        # same ICs as the GP rollout so the overlay panel is a direct
+        # structure comparison (the reference's plotting set is wider;
+        # workloads/tokamak.py keeps that convention for the N=80 row)
+        with host_fit():
+            ref = tk.reference_orbits(cfg, r0, th0, max(nm // 4, 1))
+        refs = np.asarray(ref[:: cfg.nph])  # one section point per turn
+        out["portrait"] = plotting.portrait(
+            np.mod(np.asarray(Qt), 2 * np.pi), np.asarray(Pt),
+            np.mod(refs[:, :, 1], 2 * np.pi),
+            refs[:, :, 0] * float(cfg.momentum_scale),
+            path=os.path.join(plots,
+                              f"tokamak_large_N{n_train}_portrait.png"),
+            xlabel=r"$\theta$", ylabel=r"$p_\theta \cdot 10^2$",
+            title=f"tokamak_large N={n_train}")
 
     if rollout_batch and rollout_batch > len(q0):
         reps = int(np.ceil(rollout_batch / len(q0)))
