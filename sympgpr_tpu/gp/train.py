@@ -25,7 +25,6 @@ main.py:58-68``).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, Sequence
 
 import jax

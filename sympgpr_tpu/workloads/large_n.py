@@ -30,7 +30,6 @@ benchmark artifact.
 from __future__ import annotations
 
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -297,8 +297,6 @@ def test_rollout_compensated_no_worse_than_plain():
     compensated path agrees with the plain path to the per-term floor
     and never degrades it.
     """
-    import jax
-
     rng = np.random.default_rng(3)
     n = 40
     q = rng.uniform(0, 2 * np.pi, n)
