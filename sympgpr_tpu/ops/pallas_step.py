@@ -236,7 +236,9 @@ def _comp_rsum(M):
     |alpha| ~ 1e3 terms down to O(1e-2) increments) to O(eps * |result|)
     + O(eps^2 * sum|terms|).  Levels are statically unrolled; zero
     padding to a power of two is exact (TwoSum with 0 is exact).
-    DESIGN.md section 4 records the measured Eosc recovery.
+    Exact under cancellation (unit-tested); the measured END-TO-END
+    effect on rollouts is a negative result — per-term product rounding
+    dominates — recorded in DESIGN.md section 4.
     """
     n = M.shape[0]
     npow = 1 << max(0, n - 1).bit_length()
