@@ -345,7 +345,7 @@ def measure(N: int = 4096, reps: int = 8, dtype=jnp.float32,
     nll_first, nll_last = float(vals[0]), float(vals[-1])
     t_total = time.time() - t0
     t0 = time.time()
-    theta2, vals2 = train(theta_full0)
+    _, vals2 = train(theta_full0)
     float(vals2[-1])
     t_train_run = time.time() - t0
     t_train_compile = t_total - t_train_run
