@@ -52,4 +52,9 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     # everything slower than 1 s is worth persisting through the tunnel
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # keep only the jit-executable cache: the XLA-internal side caches
+    # (CPU AOT / autotune) embed compile-machine feature strings with
+    # pseudo-features (+prefer-no-scatter) that the loader's host check
+    # rejects with a noisy cpu_aot_loader error on every warm run
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     return cache
