@@ -52,9 +52,11 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     # everything slower than 1 s is worth persisting through the tunnel
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    # keep only the jit-executable cache: the XLA-internal side caches
-    # (CPU AOT / autotune) embed compile-machine feature strings with
-    # pseudo-features (+prefer-no-scatter) that the loader's host check
-    # rejects with a noisy cpu_aot_loader error on every warm run
+    # keep only the jit-executable cache (no XLA-internal side caches).
+    # Known benign noise: loading cached XLA:CPU executables logs a
+    # cpu_aot_loader feature-mismatch error for the +prefer-no-scatter /
+    # +prefer-no-gather PSEUDO-features (XLA compile preferences, not
+    # host ISA bits) — the load proceeds and results are correct (full
+    # suite + bench green with warm cache).
     jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     return cache
