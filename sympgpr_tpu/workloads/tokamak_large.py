@@ -78,6 +78,7 @@ def run(
     rollout_batch: int | None = None,
     compensated: bool = False,
     plots: str | None = None,
+    with_f64_rollout: bool = False,
 ) -> dict[str, Any]:
     """End-to-end large-N tokamak: real data gen -> device fit -> fused
     rollout -> reference quality gates.  ``rollout_batch`` > Ntest adds a
@@ -165,6 +166,37 @@ def run(
             jnp.asarray(pr, Qt.dtype))
         out["gd"] = float(np.nanmean(np.asarray(gd)))
         out["stdgd"] = float(stdgd)
+
+    if with_f64_rollout:
+        # f64 host rollout of the SAME fitted model (generic scan path):
+        # separates the map's intrinsic energy oscillation from the f32
+        # kernel's summation noise — the "f64 rollout" row of the
+        # DESIGN.md section 3 quality table
+        import jax.tree_util as jtu
+
+        from sympgpr_tpu.maps.symplectic import MapConfig, apply_map
+        from sympgpr_tpu.workloads.tokamak import make_loss_fn
+
+        def cast64(t):
+            return jtu.tree_map(
+                lambda a: jnp.asarray(a, jnp.float64)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                else a, t)
+
+        with host_fit(), jax.enable_x64(True):
+            traj64 = apply_map(
+                cast64(model), cast64(aux),
+                jnp.asarray(q0, jnp.float64),
+                jnp.asarray(p0, jnp.float64), nm,
+                MapConfig(newton_tol=1e-12, newton_maxiter=20),
+                loss_pre=make_loss_fn(cfg, use_new_q=False))
+            H64 = jax.vmap(
+                lambda qq, pp: tk.field_energy(cfg.field, qq, pp)
+            )(traj64.q, traj64.p)
+            out["mean_Eosc_f64"] = float(jnp.nanmean(
+                metrics.energy_oscillation(H64, axis=0)))
+            out["n_lost_f64"] = int(np.sum(
+                np.isnan(np.asarray(traj64.p[-1]))))
 
     if plots:
         # Poincare portrait vs the f64 reference sections — the visual
