@@ -115,9 +115,11 @@ def _register():
             "sympgpr_tpu.workloads.tokamak_large",
             fromlist=["run"]).run(
                 n_train=a.n or 4096, nm=a.nm or 1000,
-                steps=a.steps or 40, plots=a.plots),
+                steps=a.steps or 40, plots=a.plots,
+                **({"sig2n": a.sig2n} if a.sig2n else {})),
         "standard_map_large": lambda a: standard_map.run_large(
-            n_train=a.n or 4096, nm=a.nm or 200, steps=a.steps or 60),
+            n_train=a.n or 4096, nm=a.nm or 200, steps=a.steps or 60,
+            **({"sig2n": a.sig2n} if a.sig2n else {})),
     })
 
 
@@ -360,9 +362,13 @@ def main():
     p_run.add_argument("--plots", default=None,
                        help="directory for portrait PNGs")
     p_run.add_argument("--n", type=int, default=None,
-                       help="training-set size (large_n)")
+                       help="training-set size (large_n / *_large)")
     p_run.add_argument("--steps", type=int, default=None,
-                       help="optimizer steps (large_n --distributed)")
+                       help="optimizer steps (large_n / *_large)")
+    p_run.add_argument("--sig2n", type=float, default=None,
+                       help="fit jitter for the *_large workloads "
+                            "(escalates x10 automatically if f32 "
+                            "conditioning rejects it)")
     p_run.add_argument("--distributed", action="store_true",
                        help="large_n: block-cyclic fit over all devices")
     p_run.set_defaults(fn=cmd_run)
